@@ -1,0 +1,81 @@
+"""Rolling per-fold checkpoint store with exact-resume payloads.
+
+Keeps the reference's addressing scheme — directory per (model, fold), file
+name `{model_name}__fold_{fold_idx}__epoch_{epoch_idx:03d}.ckpt`, newest
+`num_saved` files retained (koafusion/various/_checkpoint.py:14-62) — but
+improves on it: the payload is the FULL train state (params + batch stats +
+optimizer state + epoch + PRNG key data), serialized with flax msgpack, so
+resume is exact rather than schedule-restarting (the reference only saved
+bare model weights, cf. `_checkpoint.py:56-59`).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from pathlib import Path
+
+import jax
+import numpy as np
+from flax import serialization
+
+logger = logging.getLogger("checkpoint")
+
+
+class CheckpointHandler:
+    def __init__(self, path_root,
+                 fname_pattern=("{model_name}__"
+                                "fold_{fold_idx}__"
+                                "epoch_{epoch_idx:>03d}.ckpt"),
+                 num_saved=1):
+        self.path_root = Path(path_root)
+        self.fname_pattern = fname_pattern
+        self.num_saved = num_saved
+
+        _, ext = os.path.splitext(self.fname_pattern)
+        if not self.path_root.exists():
+            raise ValueError(f"Path {self.path_root} does not exist")
+
+        self._all_ckpts = sorted(self.path_root.glob("*" + ext))
+        logger.info(f"Checkpoints found: {len(self._all_ckpts)}")
+        self._remove_excessive_ckpts()
+
+    def _remove_excessive_ckpts(self):
+        while len(self._all_ckpts) > self.num_saved:
+            try:
+                os.remove(self._all_ckpts[0])
+                logger.info(f"Removed ckpt: {self._all_ckpts[0]}")
+                self._all_ckpts = self._all_ckpts[1:]
+            except OSError:
+                logger.error(f"Cannot remove {self._all_ckpts[0]}")
+                break
+
+    def get_last_ckpt(self):
+        if len(self._all_ckpts) == 0:
+            logger.warning(f"No checkpoints are available in {self.path_root}")
+            return None
+        return self._all_ckpts[-1]
+
+    def save_new_ckpt(self, state, model_name, fold_idx, epoch_idx):
+        """Serialize a pytree train state; returns the written path."""
+        fname = self.fname_pattern.format(model_name=model_name,
+                                          fold_idx=fold_idx,
+                                          epoch_idx=epoch_idx)
+        path_full = Path(self.path_root, fname)
+        payload = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+        path_full.write_bytes(serialization.to_bytes(payload))
+        self._all_ckpts.append(path_full)
+        self._remove_excessive_ckpts()
+        return path_full
+
+
+def load_ckpt(path, target=None):
+    """Restore a checkpoint written by :class:`CheckpointHandler`.
+
+    With ``target`` (a pytree of matching structure), arrays are restored
+    into its exact structure; without it, a nested dict is returned.
+    """
+    data = Path(path).read_bytes()
+    if target is not None:
+        return serialization.from_bytes(target, data)
+    return serialization.msgpack_restore(data)

@@ -1,0 +1,14 @@
+"""Test env: force the JAX CPU backend with 8 virtual devices.
+
+This is the TPU-world replacement for "multi-node tests without a cluster"
+(SURVEY.md §4): pjit/sharding tests run against a fake 8-device mesh.
+Must run before jax is imported anywhere.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()

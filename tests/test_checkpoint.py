@@ -1,0 +1,51 @@
+import numpy as np
+import pytest
+
+from oaprogressionmmf_tpu.utils.checkpoint import CheckpointHandler, load_ckpt
+
+
+@pytest.fixture
+def state():
+    return {
+        "params": {"dense": {"kernel": np.ones((4, 4), np.float32),
+                             "bias": np.zeros((4,), np.float32)}},
+        "opt_state": {"mu": np.full((4,), 0.5, np.float32)},
+        "epoch": np.asarray(7),
+    }
+
+
+def test_save_load_roundtrip(tmp_path, state):
+    h = CheckpointHandler(tmp_path)
+    p = h.save_new_ckpt(state, model_name="XR1Cnn", fold_idx=0, epoch_idx=7)
+    assert p.name == "XR1Cnn__fold_0__epoch_007.ckpt"
+    restored = load_ckpt(p, target=state)
+    np.testing.assert_array_equal(restored["params"]["dense"]["kernel"],
+                                  state["params"]["dense"]["kernel"])
+    assert int(restored["epoch"]) == 7
+
+
+def test_rolling_retention(tmp_path, state):
+    h = CheckpointHandler(tmp_path, num_saved=1)
+    h.save_new_ckpt(state, model_name="M", fold_idx=1, epoch_idx=1)
+    h.save_new_ckpt(state, model_name="M", fold_idx=1, epoch_idx=5)
+    files = list(tmp_path.glob("*.ckpt"))
+    assert len(files) == 1
+    assert files[0].name == "M__fold_1__epoch_005.ckpt"
+    assert h.get_last_ckpt() == files[0]
+
+
+def test_get_last_ckpt_empty(tmp_path):
+    h = CheckpointHandler(tmp_path)
+    assert h.get_last_ckpt() is None
+
+
+def test_existing_ckpts_discovered(tmp_path, state):
+    h1 = CheckpointHandler(tmp_path)
+    h1.save_new_ckpt(state, model_name="M", fold_idx=0, epoch_idx=3)
+    h2 = CheckpointHandler(tmp_path)
+    assert h2.get_last_ckpt().name == "M__fold_0__epoch_003.ckpt"
+
+
+def test_missing_dir_raises(tmp_path):
+    with pytest.raises(ValueError):
+        CheckpointHandler(tmp_path / "nope")
