@@ -1,0 +1,96 @@
+"""Benchmark: flagship-model end-to-end inference throughput on TPU.
+
+Measures knees/sec through the full device path of the flagship 4-modality
+model (XR1MR2C1CnnTrf): device-side eval preprocessing (unit-range →
+normalize) + last-chance downscale + bf16 forward — the same work the
+reference times with `testing.profile=time` (koafusion/run/eval_prog_fus.py:
+286-294), minus host IO.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+`vs_baseline` is value / REF_BASELINE_KNEES_PER_SEC, where the baseline is
+an estimate of the reference's single-GPU inference throughput for this
+model (the reference repo publishes no numbers — BASELINE.md; 25 knees/s is
+a generous estimate for a torch ResNeXt50+2xResNet50+FeaT pipeline at these
+input sizes on one datacenter GPU).
+"""
+
+import json
+import time
+
+import numpy as np
+
+REF_BASELINE_KNEES_PER_SEC = 25.0
+BATCH = 16
+N_WARMUP = 2
+N_ITERS = 10
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from oaprogressionmmf_tpu.models import dict_models
+    from oaprogressionmmf_tpu.train.trainer import make_preprocess_fn
+
+    modals = ["xr_pa", "sag_3d_dess", "sag_t2_map", "clin"]
+    model_cfg = {
+        "name": "XR1MR2C1CnnTrf",
+        "input_size": [[700, 700], [320, 320, 128], [320, 320, 25], [16]],
+        "downscale": [[0.5, 0.5], [0.5, 0.5, 0.5], [0.5, 0.5, 1.0], [1.0]],
+        "input_channels": 1,
+        "output_channels": 2,
+        "output_type": "dict",
+        "debug": False,
+        "restore_weights": False,
+        "fe": {
+            "xr": {"arch": "resnext50_32x4d", "pretrained": False,
+                   "with_gap": True, "dropout": 0.0},
+            "mr": {"arch": "resnet50", "pretrained": False,
+                   "with_gap": True, "dropout": 0.0},
+            "clin": {"dim_in": 9, "dim_out": 2048, "dropout": 0.1},
+        },
+        "agg": {"num_slices": [1, 64, 25, 1], "depth": 4, "heads": 8,
+                "emb_dropout": 0.1, "mlp_dim": 2048, "mlp_dropout": 0.1},
+    }
+
+    model = dict_models["XR1MR2C1CnnTrf"](config=model_cfg,
+                                          compute_dtype=jnp.bfloat16)
+    preproc = make_preprocess_fn(modals, model_cfg["downscale"], train=False)
+
+    rng = np.random.RandomState(0)
+    xs_host = (
+        rng.rand(BATCH, 1, 700, 700).astype(np.float32) * 255,
+        rng.rand(BATCH, 1, 320, 320, 128).astype(np.float32) * 255,
+        rng.rand(BATCH, 1, 320, 320, 25).astype(np.float32) * 0.1,
+        rng.rand(BATCH, 1, 9).astype(np.float32),
+    )
+    xs = tuple(jnp.asarray(x) for x in xs_host)
+
+    variables = jax.jit(
+        lambda xs: model.init(jax.random.key(0), *preproc(xs), train=False)
+    )(xs)
+
+    @jax.jit
+    def infer(variables, xs):
+        out = model.apply(variables, *preproc(xs), train=False)
+        return jax.nn.softmax(out["main"], axis=-1)
+
+    for _ in range(N_WARMUP):
+        infer(variables, xs).block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(N_ITERS):
+        infer(variables, xs).block_until_ready()
+    dt = time.perf_counter() - t0
+
+    knees_per_sec = BATCH * N_ITERS / dt
+    print(json.dumps({
+        "metric": "flagship_infer_knees_per_sec",
+        "value": round(knees_per_sec, 2),
+        "unit": "knees/sec/chip",
+        "vs_baseline": round(knees_per_sec / REF_BASELINE_KNEES_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""Host→device input pipeline: weighted sampling + threaded prefetch.
+
+Replaces the reference's 24-worker torch DataLoader + WeightedRandomSampler
+(koafusion/datasets/_data_provider.py:461-498) with a TPU-appropriate
+pipeline: deterministic counter-based sampling, a thread pool that decodes
+and crops samples on the host, batch assembly into stacked numpy arrays,
+and double-buffered `jax.device_put` with the batch axis sharded across the
+mesh — so the chips never wait on NIfTI decode.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Sequence
+
+import numpy as np
+
+from ..parallel.mesh import shard_batch_pytree
+
+
+class WeightedSampler:
+    """Inverse-class-frequency sampling with replacement, replayable.
+
+    Same distribution as torch's WeightedRandomSampler under the reference's
+    weighting (1/class-frequency per sample), but driven by a counter-based
+    RNG keyed on (seed, epoch) so epochs are reproducible and resumable.
+    """
+
+    def __init__(self, targets: Sequence[int], seed: int = 0):
+        targets = np.asarray(targets)
+        _, inverse, counts = np.unique(targets, return_inverse=True,
+                                       return_counts=True)
+        freqs = counts / len(targets)
+        self.weights = 1.0 / freqs[inverse]
+        self.probs = self.weights / self.weights.sum()
+        self.num_samples = len(targets)
+        self.seed = seed
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        rng = np.random.Generator(np.random.Philox(key=[self.seed, epoch]))
+        return rng.choice(self.num_samples, size=self.num_samples,
+                          replace=True, p=self.probs)
+
+
+class SequentialSampler:
+    def __init__(self, num_samples: int):
+        self.num_samples = num_samples
+
+    def epoch_indices(self, epoch: int) -> np.ndarray:
+        return np.arange(self.num_samples)
+
+
+class BatchLoader:
+    """Iterate device-ready batches for one epoch.
+
+    Args:
+        dataset: DatasetOAI3d-like with .get(idx, epoch).
+        sampler: object with .epoch_indices(epoch).
+        batch_size: samples per global batch.
+        drop_last: drop the ragged final batch (train/val parity with the
+            reference loaders; test keeps it and pads).
+        mesh: optional Mesh — batches are device_put with the batch axis
+            sharded; None leaves batches on host.
+        num_workers: decode threads.
+        prefetch: number of batches decoded ahead.
+    """
+
+    def __init__(self, dataset, sampler, batch_size: int,
+                 drop_last: bool = False, mesh=None, num_workers: int = 8,
+                 prefetch: int = 2, pad_to_batch: bool = False):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+        self.mesh = mesh
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.pad_to_batch = pad_to_batch
+
+    def batches_per_epoch(self) -> int:
+        n = self.sampler.num_samples
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __len__(self):
+        return self.batches_per_epoch()
+
+    def _assemble(self, items: list[dict]) -> dict:
+        n_valid = len(items)
+        if self.pad_to_batch and n_valid < self.batch_size:
+            items = items + [items[-1]] * (self.batch_size - n_valid)
+        batch: dict = {}
+        for k in items[0]:
+            vals = [it[k] for it in items]
+            if isinstance(vals[0], np.ndarray):
+                batch[k] = np.stack(vals, axis=0)
+            else:
+                batch[k] = vals  # e.g. exam_knee_id strings
+        batch["_n_valid"] = n_valid
+        return batch
+
+    def epoch(self, epoch_idx: int = 0):
+        """Generator of batches for one epoch, prefetched ahead."""
+        order = self.sampler.epoch_indices(epoch_idx)
+        nb = self.batches_per_epoch()
+        chunks = [order[i * self.batch_size:(i + 1) * self.batch_size]
+                  for i in range(nb)]
+
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                for chunk in chunks:
+                    if stop.is_set():
+                        return
+                    items = list(pool.map(
+                        lambda i: self.dataset.get(int(i), epoch=epoch_idx),
+                        chunk))
+                    batch = self._assemble(items)
+                    strings = {k: v for k, v in batch.items()
+                               if not isinstance(v, np.ndarray)}
+                    arrays = {k: v for k, v in batch.items()
+                              if isinstance(v, np.ndarray)}
+                    if self.mesh is not None:
+                        arrays = shard_batch_pytree(self.mesh, arrays)
+                    out_q.put({**arrays, **strings})
+                out_q.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                batch = out_q.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()

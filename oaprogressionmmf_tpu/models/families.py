@@ -1,0 +1,407 @@
+"""The six progression-model families, re-designed as flax modules.
+
+Functional parity with the reference registry
+(koafusion/models/__init__.py:8-15): XR1Cnn, MR1CnnTrf, MR2CnnTrf,
+XR1MR1CnnTrf, XR1MR2CnnTrf, XR1MR2C1CnnTrf. Constructor contract preserved
+— each model is built from the `model` config subtree (same keys as the
+reference's `run/conf/model/*.yaml`) and its forward returns logits or
+{"main": logits} depending on `output_type`.
+
+TPU-first redesign:
+  * inputs keep the reference's channel-first external layout
+    (B,CH,R,C[,S]) but are folded once to NHWC for the convs;
+  * the per-slice trick — volume (B,1,R,C,S) → CNN batch (B·S,R,C,3) —
+    is a pure reshape/transpose that XLA fuses away
+    (cf. _mrN_cnn_trf.py:110-117);
+  * all conv/attention math can run in bfloat16 (`compute_dtype`), params
+    stay float32;
+  * static shape resolution happens at construction from
+    input_size × downscale, mirroring the reference's shape oracle tables
+    (`_mrN_cnn_trf.py:55`, `_xr1mrN.py:64-65`).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .feat import FeaT
+from .resnet import FE_ARCHS, FE_OUT_CHANNELS
+
+# FE output spatial size for stride-32 ResNet encoders, keyed by input size
+# (the reference's static shape oracle, _mrN_cnn_trf.py:55 + _xr1mrN.py:64-65)
+FE_SPATIAL = {320: 10, 160: 5, 128: 4, 96: 3, 64: 2, 32: 1, 350: 11, 25: 1}
+
+
+def _downscaled(size: Sequence[int], factor) -> list[int]:
+    if not factor:
+        return list(size)
+    return [round(s * d) for s, d in zip(size, factor)]
+
+
+def _fe_spatial(shape_in: Sequence[int]) -> tuple[int, ...]:
+    try:
+        return tuple(FE_SPATIAL[int(e)] for e in shape_in)
+    except KeyError:
+        raise ValueError(
+            "Unspecified `model.fe` output shape for given `model.input_size`")
+
+
+def _fold_volume_to_slices(x: jnp.ndarray, dims_view: str = "rc"):
+    """(B, 1, R, C, S) channel-first volume → (B·S', H, W, 3) NHWC batch.
+
+    dims_view selects the slicing plane as in _mrN_cnn_trf.py:61-71:
+    'rc' slices along S, 'cs' along R, 'rs' along C.
+    """
+    b = x.shape[0]
+    if dims_view == "rc":
+        t = jnp.transpose(x, (0, 4, 2, 3, 1))   # (B, S, R, C, 1)
+    elif dims_view == "cs":
+        t = jnp.transpose(x, (0, 2, 3, 4, 1))   # (B, R, C, S, 1)
+    elif dims_view == "rs":
+        t = jnp.transpose(x, (0, 3, 2, 4, 1))   # (B, C, R, S, 1)
+    else:
+        raise ValueError("Unsupported `model.fe.dims_view`")
+    n_slices = t.shape[1]
+    t = t.reshape((b * n_slices,) + t.shape[2:])
+    return jnp.repeat(t, 3, axis=-1), n_slices
+
+
+def _image_to_nhwc3(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 1, R, C) → (B, R, C, 3)."""
+    return jnp.repeat(jnp.transpose(x, (0, 2, 3, 1)), 3, axis=-1)
+
+
+def _tokens_from_maps(feats: jnp.ndarray, batch: int) -> jnp.ndarray:
+    """(B·S, h, w, C) or (B·S, C) → (B, S·h·w, C) token sequence."""
+    if feats.ndim == 2:
+        c = feats.shape[-1]
+        return feats.reshape(batch, -1, c)
+    bs, h, w, c = feats.shape
+    return feats.reshape(batch, -1, c)
+
+
+def _finalize(endpoints: dict, output_type: str):
+    if output_type == "main":
+        return endpoints["main"]
+    if output_type == "dict":
+        return endpoints
+    raise ValueError(f"Unknown output_type: {output_type}")
+
+
+def _cfg(config, *path, default=None):
+    node = config
+    for p in path:
+        if node is None:
+            return default
+        node = node.get(p) if hasattr(node, "get") else node[p]
+    return default if node is None else node
+
+
+def _feat_kwargs(config, num_patches, depth_ch, with_cls=True):
+    agg = config["agg"]
+    return dict(
+        num_patches=int(num_patches),
+        patch_dim=int(depth_ch),
+        emb_dim=int(depth_ch),
+        depth=int(agg["depth"]),
+        heads=int(agg["heads"]),
+        mlp_dim=int(agg["mlp_dim"]),
+        num_classes=int(config["output_channels"]),
+        emb_dropout=float(agg["emb_dropout"]),
+        with_cls=with_cls,
+        mlp_dropout=float(agg["mlp_dropout"]),
+    )
+
+
+class XR1Cnn(nn.Module):
+    """XR-only classifier: FE → flatten → MLP head (cf. _xr1_cnn.py:9-81)."""
+
+    config: Any
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input, train: bool = False):
+        cfg = self.config
+        arch = cfg["fe"]["arch"]
+        fe = FE_ARCHS[arch](with_gap=True, dtype=self.compute_dtype,
+                            name="fe")
+        x = _image_to_nhwc3(input.astype(self.compute_dtype))
+        feats = fe(x, train=train)                    # (B, C)
+
+        agg = cfg["agg"]
+        h = nn.Dropout(float(agg["dropout"]))(feats, deterministic=not train)
+        h = nn.Dense(int(agg["hidden_size"]), dtype=self.compute_dtype,
+                     name="agg_dense")(h)
+        h = nn.relu(h)
+        h = nn.Dropout(float(agg["dropout"]))(h, deterministic=not train)
+        logits = nn.Dense(int(cfg["output_channels"]),
+                          dtype=self.compute_dtype, name="final")(h)
+        return _finalize({"main": logits.astype(jnp.float32)},
+                         cfg["output_type"])
+
+
+class MR1CnnTrf(nn.Module):
+    """Single-MRI transformer classifier (cf. _mrN_cnn_trf.py:12-139)."""
+
+    config: Any
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input, train: bool = False, return_attn: bool = False):
+        cfg = self.config
+        fe_cfg = cfg["fe"]
+        with_gap = bool(fe_cfg["with_gap"])
+        dims_view = fe_cfg.get("dims_view", "rc") or "rc"
+        fe_ch = FE_OUT_CHANNELS[fe_cfg["arch"]]
+
+        shape_in = _downscaled(cfg["input_size"][0], _cfg(cfg, "downscale") and
+                               cfg["downscale"][0])
+        if with_gap:
+            spat = (1, 1, 1)
+        else:
+            spat = _fe_spatial(shape_in)
+        axis_tokens = {"rc": shape_in[2] * spat[0] * spat[1],
+                       "cs": shape_in[0] * spat[1] * spat[2],
+                       "rs": shape_in[1] * spat[0] * spat[2]}[dims_view]
+
+        fe = FE_ARCHS[fe_cfg["arch"]](with_gap=with_gap,
+                                      dtype=self.compute_dtype, name="fe")
+        b = input.shape[0]
+        slices, _ = _fold_volume_to_slices(input.astype(self.compute_dtype),
+                                           dims_view)
+        feats = fe(slices, train=train)
+        if float(fe_cfg.get("dropout") or 0.0):
+            feats = nn.Dropout(float(fe_cfg["dropout"]))(
+                feats, deterministic=not train)
+        tokens = _tokens_from_maps(feats, b)
+
+        agg = FeaT(**_feat_kwargs(cfg, axis_tokens, fe_ch),
+                   dtype=self.compute_dtype, name="agg")
+        outputs, _, attns = agg(tokens, deterministic=not train,
+                                return_attn=return_attn)
+        logits = outputs.reshape(b, -1).astype(jnp.float32)
+        endpoints = {"main": logits}
+        if return_attn:
+            endpoints["attn"] = attns
+        return _finalize(endpoints, cfg["output_type"])
+
+
+class MR2CnnTrf(nn.Module):
+    """Two-MRI transformer classifier (cf. _mrN_cnn_trf.py:142-272)."""
+
+    config: Any
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input0, input1, train: bool = False,
+                 return_attn: bool = False):
+        cfg = self.config
+        fe_cfg = cfg["fe"]
+        with_gap = bool(fe_cfg["with_gap"])
+        fe_ch = FE_OUT_CHANNELS[fe_cfg["arch"]]
+        num_slices = cfg["agg"]["num_slices"]
+        spat = (1, 1) if with_gap else (5, 5)
+        n_tokens = (int(num_slices[0]) + int(num_slices[1])) * math.prod(spat)
+
+        b = input0.shape[0]
+        tokens = []
+        for idx, x in enumerate((input0, input1)):
+            fe = FE_ARCHS[fe_cfg["arch"]](with_gap=with_gap,
+                                          dtype=self.compute_dtype,
+                                          name=f"fe{idx}")
+            slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype))
+            feats = fe(slices, train=train)
+            if float(fe_cfg.get("dropout") or 0.0):
+                feats = nn.Dropout(float(fe_cfg["dropout"]))(
+                    feats, deterministic=not train)
+            tokens.append(_tokens_from_maps(feats, b))
+        tokens = jnp.concatenate(tokens, axis=1)
+
+        agg = FeaT(**_feat_kwargs(cfg, n_tokens, fe_ch),
+                   dtype=self.compute_dtype, name="agg")
+        outputs, _, attns = agg(tokens, deterministic=not train,
+                                return_attn=return_attn)
+        logits = outputs.reshape(b, -1).astype(jnp.float32)
+        endpoints = {"main": logits}
+        if return_attn:
+            endpoints["attn"] = attns
+        return _finalize(endpoints, cfg["output_type"])
+
+
+class FeatC1(nn.Module):
+    """Clinical-vector encoder: Linear → GELU → Dropout
+    (cf. _xrNmrMcP.py:11-29)."""
+
+    dim_out: int
+    dropout: float
+    compute_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.dim_out, dtype=self.compute_dtype, name="fe")(
+            x.astype(self.compute_dtype))
+        x = nn.gelu(x, approximate=False)
+        return nn.Dropout(self.dropout)(x, deterministic=not train)
+
+
+class _XrMrFusionBase(nn.Module):
+    """Shared machinery of the XR+MRI fusion families."""
+
+    config: Any
+    compute_dtype: Any = jnp.float32
+
+    def _shapes(self, n_branches):
+        cfg = self.config
+        sizes = [list(cfg["input_size"][i]) for i in range(n_branches)]
+        ds = _cfg(cfg, "downscale")
+        return [
+            _downscaled(sizes[i], ds and cfg["downscale"][i])
+            for i in range(n_branches)
+        ]
+
+    def _xr_tokens(self, input0, train):
+        cfg = self.config
+        xr_cfg = cfg["fe"]["xr"]
+        fe = FE_ARCHS[xr_cfg["arch"]](with_gap=bool(xr_cfg["with_gap"]),
+                                      dtype=self.compute_dtype, name="fe_xr")
+        feats = fe(_image_to_nhwc3(input0.astype(self.compute_dtype)),
+                   train=train)
+        if float(xr_cfg.get("dropout") or 0.0):
+            feats = nn.Dropout(float(xr_cfg["dropout"]))(
+                feats, deterministic=not train)
+        return _tokens_from_maps(feats, input0.shape[0])
+
+    def _mr_tokens(self, x, name, train):
+        cfg = self.config
+        mr_cfg = cfg["fe"]["mr"]
+        fe = FE_ARCHS[mr_cfg["arch"]](with_gap=bool(mr_cfg["with_gap"]),
+                                      dtype=self.compute_dtype, name=name)
+        slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype))
+        feats = fe(slices, train=train)
+        if float(mr_cfg.get("dropout") or 0.0):
+            feats = nn.Dropout(float(mr_cfg["dropout"]))(
+                feats, deterministic=not train)
+        return _tokens_from_maps(feats, x.shape[0])
+
+    def _token_counts(self, shapes, n_mr):
+        cfg = self.config
+        xr_gap = bool(cfg["fe"]["xr"]["with_gap"])
+        mr_gap = bool(cfg["fe"]["mr"]["with_gap"])
+        n_xr = 1 if xr_gap else math.prod(_fe_spatial(shapes[0]))
+        ns = cfg["agg"]["num_slices"]
+        counts = [n_xr]
+        for i in range(1, 1 + n_mr):
+            spat = (1, 1) if mr_gap else _fe_spatial(shapes[i][:2])
+            counts.append(int(ns[i]) * math.prod(spat))
+        return counts
+
+
+class XR1MR1CnnTrf(_XrMrFusionBase):
+    """XR + 1 MRI, single shared FeaT over concatenated tokens
+    (cf. _xr1mrN.py:11-158)."""
+
+    @nn.compact
+    def __call__(self, input0, input1, train: bool = False,
+                 return_attn: bool = False):
+        cfg = self.config
+        shapes = self._shapes(2)
+        counts = self._token_counts(shapes, n_mr=1)
+        fe_ch = FE_OUT_CHANNELS[cfg["fe"]["mr"]["arch"]]
+
+        tokens = jnp.concatenate([
+            self._xr_tokens(input0, train),
+            self._mr_tokens(input1, "fe_mr1", train),
+        ], axis=1)
+
+        agg = FeaT(**_feat_kwargs(cfg, sum(counts), fe_ch),
+                   dtype=self.compute_dtype, name="agg")
+        outputs, _, attns = agg(tokens, deterministic=not train,
+                                return_attn=return_attn)
+        logits = outputs.reshape(input0.shape[0], -1).astype(jnp.float32)
+        endpoints = {"main": logits}
+        if return_attn:
+            endpoints["attn"] = attns
+        return _finalize(endpoints, cfg["output_type"])
+
+
+class XR1MR2CnnTrf(_XrMrFusionBase):
+    """XR + 2 MRI hierarchical fusion: per-MR CLS-less FeaTs produce
+    contextualized states, concatenated with raw XR tokens into a final
+    CLS-FeaT (cf. _xr1mrN.py:161-369)."""
+
+    @nn.compact
+    def __call__(self, input0, input1, input2, train: bool = False,
+                 return_attn: bool = False):
+        cfg = self.config
+        shapes = self._shapes(3)
+        counts = self._token_counts(shapes, n_mr=2)
+        fe_ch = FE_OUT_CHANNELS[cfg["fe"]["mr"]["arch"]]
+
+        t_xr = self._xr_tokens(input0, train)
+        t_mr1 = self._mr_tokens(input1, "fe_mr1", train)
+        t_mr2 = self._mr_tokens(input2, "fe_mr2", train)
+
+        agg1 = FeaT(**_feat_kwargs(cfg, counts[1], fe_ch, with_cls=False),
+                    dtype=self.compute_dtype, name="agg_1")
+        agg2 = FeaT(**_feat_kwargs(cfg, counts[2], fe_ch, with_cls=False),
+                    dtype=self.compute_dtype, name="agg_2")
+        _, s_mr1, _ = agg1(t_mr1, deterministic=not train)
+        _, s_mr2, _ = agg2(t_mr2, deterministic=not train)
+
+        tokens = jnp.concatenate([t_xr, s_mr1, s_mr2], axis=1)
+        agg_final = FeaT(**_feat_kwargs(cfg, sum(counts), fe_ch),
+                         dtype=self.compute_dtype, name="agg_final")
+        outputs, _, attns = agg_final(tokens, deterministic=not train,
+                                      return_attn=return_attn)
+        logits = outputs.reshape(input0.shape[0], -1).astype(jnp.float32)
+        endpoints = {"main": logits}
+        if return_attn:
+            endpoints["attn"] = attns
+        return _finalize(endpoints, cfg["output_type"])
+
+
+class XR1MR2C1CnnTrf(_XrMrFusionBase):
+    """Flagship 4-modality model: XR tokens + 2 hierarchical MRI FeaTs +
+    clinical token, fused by a final CLS-FeaT (cf. _xrNmrMcP.py:32-264)."""
+
+    @nn.compact
+    def __call__(self, input0, input1, input2, input3, train: bool = False,
+                 return_attn: bool = False):
+        cfg = self.config
+        shapes = self._shapes(3)
+        counts = self._token_counts(shapes, n_mr=2)
+        n_clin = int(cfg["agg"]["num_slices"][3])
+        fe_ch = FE_OUT_CHANNELS[cfg["fe"]["mr"]["arch"]]
+
+        t_xr = self._xr_tokens(input0, train)
+        t_mr1 = self._mr_tokens(input1, "fe_mr1", train)
+        t_mr2 = self._mr_tokens(input2, "fe_mr2", train)
+        # clinical branch: (B, CH=1, 9) → (B, 1, fe_ch) token
+        t_clin = FeatC1(dim_out=fe_ch,
+                        dropout=float(cfg["fe"]["clin"]["dropout"]),
+                        compute_dtype=self.compute_dtype,
+                        name="fe_clin")(input3, train=train)
+
+        agg1 = FeaT(**_feat_kwargs(cfg, counts[1], fe_ch, with_cls=False),
+                    dtype=self.compute_dtype, name="agg_1")
+        agg2 = FeaT(**_feat_kwargs(cfg, counts[2], fe_ch, with_cls=False),
+                    dtype=self.compute_dtype, name="agg_2")
+        _, s_mr1, _ = agg1(t_mr1, deterministic=not train)
+        _, s_mr2, _ = agg2(t_mr2, deterministic=not train)
+
+        tokens = jnp.concatenate([t_xr, s_mr1, s_mr2,
+                                  t_clin.astype(s_mr1.dtype)], axis=1)
+        agg_final = FeaT(
+            **_feat_kwargs(cfg, sum(counts) + n_clin, fe_ch),
+            dtype=self.compute_dtype, name="agg_final")
+        outputs, _, attns = agg_final(tokens, deterministic=not train,
+                                      return_attn=return_attn)
+        logits = outputs.reshape(input0.shape[0], -1).astype(jnp.float32)
+        endpoints = {"main": logits}
+        if return_attn:
+            endpoints["attn"] = attns
+        return _finalize(endpoints, cfg["output_type"])

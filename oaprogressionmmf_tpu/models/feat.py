@@ -1,0 +1,157 @@
+"""FeaT — the feature-transformer token aggregator, in flax.
+
+Functional parity with koafusion/models/_core_trf.py:74-205: linear
+patch→embedding, optional learned CLS token(s), learned positional
+embedding over `num_patches + num_cls_tokens`, pre-LN residual blocks
+(fused-QKV attention without biases, GELU MLP), N mlp heads read from the
+first `num_outputs` token states. Returns (outputs, states, attentions).
+
+TPU-first: attention runs through the Pallas flash kernel
+(ops/flash_attention.py) unless attention maps are requested — the
+explainability path uses the XLA reference attention which returns maps.
+Parity quirk preserved: scores are scaled by emb_dim**-0.5 (full model
+width, `_core_trf.py:160`), not per-head width.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.flash_attention import attention_reference, flash_attention
+
+
+class FeedForward(nn.Module):
+    dim: int
+    hidden_dim: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        return nn.Dropout(self.dropout)(x, deterministic=deterministic)
+
+
+class Attention(nn.Module):
+    dim: int
+    heads: int = 8
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 return_attn: bool = False):
+        b, n, d = x.shape
+        h = self.heads
+        scale = self.dim ** -0.5  # full-width scale (reference parity)
+
+        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype,
+                       name="to_qkv")(x)
+        qkv = qkv.reshape(b, n, 3, h, d // h)
+        q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))
+
+        if return_attn:
+            out, attn = attention_reference(q, k, v, scale)
+        else:
+            out = flash_attention(q, k, v, scale=scale)
+            attn = None
+
+        out = jnp.moveaxis(out, 1, 2).reshape(b, n, d)
+        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out, attn
+
+
+class Transformer(nn.Module):
+    dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    dropout: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True,
+                 return_attn: bool = False):
+        attentions = []
+        for d in range(self.depth):
+            o = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"prenorm_0_{d}")(x)
+            o, attn = Attention(self.dim, self.heads, self.dropout,
+                                dtype=self.dtype, name=f"attn_{d}")(
+                o, deterministic=deterministic, return_attn=return_attn)
+            attentions.append(attn)
+            x = o + x
+            ff = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                              name=f"prenorm_1_{d}")(x)
+            ff = FeedForward(self.dim, self.mlp_dim, self.dropout,
+                             dtype=self.dtype, name=f"ff_{d}")(
+                ff, deterministic=deterministic)
+            x = ff + x
+        return x, attentions
+
+
+class FeaT(nn.Module):
+    num_patches: int
+    patch_dim: int
+    emb_dim: int
+    depth: int
+    heads: int
+    mlp_dim: int
+    num_classes: int
+    emb_dropout: float = 0.0
+    with_cls: bool = True
+    num_cls_tokens: int = 1
+    mlp_dropout: float = 0.0
+    num_outputs: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, features, deterministic: bool = True,
+                 return_attn: bool = False):
+        """features: (B, num_patches, patch_dim) → (outputs, states, attns).
+
+        outputs: (B, num_outputs, num_classes); states: (B, tokens, emb_dim).
+        """
+        b = features.shape[0]
+        n_cls = self.num_cls_tokens if self.with_cls else 0
+
+        x = nn.Dense(self.emb_dim, dtype=self.dtype,
+                     name="patch_to_embedding")(features)
+
+        if self.with_cls:
+            cls = self.param("cls_token", nn.initializers.normal(1.0),
+                             (1, self.num_cls_tokens, self.emb_dim))
+            cls = jnp.broadcast_to(cls, (b, self.num_cls_tokens, self.emb_dim))
+            x = jnp.concatenate([cls.astype(x.dtype), x], axis=1)
+
+        pos = self.param("pos_embedding", nn.initializers.normal(1.0),
+                         (1, self.num_patches + n_cls, self.emb_dim))
+        x = x + pos.astype(x.dtype)
+        x = nn.Dropout(self.emb_dropout)(x, deterministic=deterministic)
+
+        states, attentions = Transformer(
+            self.emb_dim, self.depth, self.heads, self.mlp_dim,
+            self.mlp_dropout, dtype=self.dtype, name="transformer")(
+            x, deterministic=deterministic, return_attn=return_attn)
+
+        outputs = []
+        for i in range(self.num_outputs):
+            h = states[:, i]
+            h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name=f"mlp_head{i}_norm")(h)
+            h = nn.Dense(self.mlp_dim, dtype=self.dtype,
+                         name=f"mlp_head{i}_dense0")(h)
+            h = nn.gelu(h, approximate=False)
+            h = nn.Dropout(self.mlp_dropout)(h, deterministic=deterministic)
+            h = nn.Dense(self.num_classes, dtype=self.dtype,
+                         name=f"mlp_head{i}_dense1")(h)
+            outputs.append(h)
+        outputs = jnp.stack(outputs, axis=1)
+        return outputs, states, attentions

@@ -1,0 +1,243 @@
+"""ResNet / ResNeXt feature extractors in flax (NHWC, bf16-capable).
+
+Covers the encoder family the reference selects from its FE registry
+(koafusion/models/_core_fes.py:6-15 → torchvision resnet18/34/50 and the
+vendored resnext50_32x4d, `_torchvision.py:265-343`): ResNet v1 with
+7x7 stem, BN, 3x3 max-pool, four stages, optional grouped 3x3 convs
+(ResNeXt groups=32, width 4).
+
+TPU-first choices:
+  * NHWC layout end-to-end (TPU conv layout; the channel-first reference
+    layout is transposed once at the model boundary),
+  * a `dtype` knob so activations/convs run in bfloat16 on the MXU with
+    float32 params and BN statistics,
+  * torch semantics preserved where they are numerically visible: BN
+    momentum 0.1 / eps 1e-5, asymmetric stem padding, stride placement on
+    the 3x3 conv (torchvision v1.5 convention).
+
+`convert_torch_resnet_state` imports torchvision-format checkpoints
+(O,I,kh,kw → kh,kw,I,O etc.) so ImageNet initializations from the
+reference's model-zoo URLs (`_torchvision.py:12-20`) can be reused when a
+weights file is available locally.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+ModuleDef = Any
+
+
+class BasicBlock(nn.Module):
+    filters: int
+    stride: int
+    conv: ModuleDef
+    norm: ModuleDef
+    groups: int = 1
+    base_width: int = 64
+    expansion: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        y = self.conv(self.filters, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters, (3, 3), padding=((1, 1), (1, 1)))(y)
+        y = self.norm(scale_init=nn.initializers.ones)(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters, (1, 1),
+                                 strides=(self.stride, self.stride),
+                                 name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class Bottleneck(nn.Module):
+    filters: int
+    stride: int
+    conv: ModuleDef
+    norm: ModuleDef
+    groups: int = 1
+    base_width: int = 64
+    expansion: int = 4
+
+    @nn.compact
+    def __call__(self, x):
+        residual = x
+        width = int(self.filters * (self.base_width / 64.0)) * self.groups
+
+        y = self.conv(width, (1, 1))(x)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        # stride on the 3x3 (torchvision v1.5 placement)
+        y = self.conv(width, (3, 3), strides=(self.stride, self.stride),
+                      padding=((1, 1), (1, 1)),
+                      feature_group_count=self.groups)(y)
+        y = self.norm()(y)
+        y = nn.relu(y)
+        y = self.conv(self.filters * self.expansion, (1, 1))(y)
+        y = self.norm()(y)
+
+        if residual.shape != y.shape:
+            residual = self.conv(self.filters * self.expansion, (1, 1),
+                                 strides=(self.stride, self.stride),
+                                 name="downsample_conv")(residual)
+            residual = self.norm(name="downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetFE(nn.Module):
+    """ResNet feature extractor: (B, H, W, 3) → pooled (B, C) or maps
+    (B, h, w, C), matching the reference's with_gap switch
+    (koafusion/models/_mrN_cnn_trf.py:22-28)."""
+
+    stage_sizes: Sequence[int]
+    block_cls: Callable
+    groups: int = 1
+    base_width: int = 64
+    with_gap: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+        norm = partial(nn.BatchNorm, use_running_average=not train,
+                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       param_dtype=jnp.float32)
+
+        x = x.astype(self.dtype)
+        x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
+                 name="conv1")(x)
+        x = norm(name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        for stage_idx, num_blocks in enumerate(self.stage_sizes):
+            for block_idx in range(num_blocks):
+                stride = 2 if stage_idx > 0 and block_idx == 0 else 1
+                x = self.block_cls(
+                    filters=64 * 2 ** stage_idx,
+                    stride=stride,
+                    conv=conv,
+                    norm=norm,
+                    groups=self.groups,
+                    base_width=self.base_width,
+                    name=f"layer{stage_idx + 1}_{block_idx}",
+                )(x)
+
+        if self.with_gap:
+            x = jnp.mean(x, axis=(1, 2))
+        return x.astype(self.dtype)
+
+
+def resnet18(**kw):
+    return ResNetFE(stage_sizes=(2, 2, 2, 2), block_cls=BasicBlock, **kw)
+
+
+def resnet34(**kw):
+    return ResNetFE(stage_sizes=(3, 4, 6, 3), block_cls=BasicBlock, **kw)
+
+
+def resnet50(**kw):
+    return ResNetFE(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck, **kw)
+
+
+def resnext50_32x4d(**kw):
+    return ResNetFE(stage_sizes=(3, 4, 6, 3), block_cls=Bottleneck,
+                    groups=32, base_width=4, **kw)
+
+
+FE_ARCHS = {
+    "resnet18": resnet18,
+    "resnet34": resnet34,
+    "resnet50": resnet50,
+    "resnext50_32x4d": resnext50_32x4d,
+}
+
+FE_OUT_CHANNELS = {
+    "resnet18": 512, "resnet34": 512, "resnet50": 2048,
+    "resnext50_32x4d": 2048,
+}
+
+
+# ---------------------------------------------------------------------------
+# torchvision-format weight import
+# ---------------------------------------------------------------------------
+
+def _stage_sizes_from_torch(sd) -> list[int]:
+    sizes = []
+    for stage in range(1, 5):
+        n = 0
+        while any(k.startswith(f"layer{stage}.{n}.") for k in sd):
+            n += 1
+        sizes.append(n)
+    return sizes
+
+
+def convert_torch_resnet_state(sd: dict) -> tuple[dict, dict]:
+    """torchvision ResNet state_dict → (flax params, batch_stats).
+
+    Layout transposes: conv (O, I/g, kh, kw) → (kh, kw, I/g, O); BN
+    weight/bias → scale/bias; running stats → batch_stats collection.
+    """
+    sd = {k: np.asarray(v) for k, v in sd.items()
+          if not k.endswith("num_batches_tracked") and not k.startswith("fc.")}
+    params: dict = {}
+    stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def conv_w(v):
+        return jnp.asarray(np.transpose(v, (2, 3, 1, 0)))
+
+    put(params, ("conv1", "kernel"), conv_w(sd["conv1.weight"]))
+    put(params, ("bn1", "scale"), jnp.asarray(sd["bn1.weight"]))
+    put(params, ("bn1", "bias"), jnp.asarray(sd["bn1.bias"]))
+    put(stats, ("bn1", "mean"), jnp.asarray(sd["bn1.running_mean"]))
+    put(stats, ("bn1", "var"), jnp.asarray(sd["bn1.running_var"]))
+
+    stage_sizes = _stage_sizes_from_torch(sd)
+    is_bottleneck = any(k.startswith("layer1.0.conv3") for k in sd)
+    n_convs = 3 if is_bottleneck else 2
+
+    for stage, n_blocks in enumerate(stage_sizes, start=1):
+        for b in range(n_blocks):
+            tpre = f"layer{stage}.{b}."
+            fname = f"layer{stage}_{b}"
+            # Convs/BNs are auto-named Conv_0..N / BatchNorm_0..N in flax
+            for ci in range(n_convs):
+                put(params, (fname, f"Conv_{ci}", "kernel"),
+                    conv_w(sd[tpre + f"conv{ci + 1}.weight"]))
+                put(params, (fname, f"BatchNorm_{ci}", "scale"),
+                    jnp.asarray(sd[tpre + f"bn{ci + 1}.weight"]))
+                put(params, (fname, f"BatchNorm_{ci}", "bias"),
+                    jnp.asarray(sd[tpre + f"bn{ci + 1}.bias"]))
+                put(stats, (fname, f"BatchNorm_{ci}", "mean"),
+                    jnp.asarray(sd[tpre + f"bn{ci + 1}.running_mean"]))
+                put(stats, (fname, f"BatchNorm_{ci}", "var"),
+                    jnp.asarray(sd[tpre + f"bn{ci + 1}.running_var"]))
+            if tpre + "downsample.0.weight" in sd:
+                put(params, (fname, "downsample_conv", "kernel"),
+                    conv_w(sd[tpre + "downsample.0.weight"]))
+                put(params, (fname, "downsample_bn", "scale"),
+                    jnp.asarray(sd[tpre + "downsample.1.weight"]))
+                put(params, (fname, "downsample_bn", "bias"),
+                    jnp.asarray(sd[tpre + "downsample.1.bias"]))
+                put(stats, (fname, "downsample_bn", "mean"),
+                    jnp.asarray(sd[tpre + "downsample.1.running_mean"]))
+                put(stats, (fname, "downsample_bn", "var"),
+                    jnp.asarray(sd[tpre + "downsample.1.running_var"]))
+    return params, stats

@@ -1,0 +1,156 @@
+"""Per-modality preprocessing: host-side crops + fused device-side float math.
+
+Pipeline split (TPU-first, cf. SURVEY.md §7.2):
+  * **host**: read uint8/uint16 volumes, RIGHT→LEFT flip, random/center crop
+    — crop-before-transfer minimizes host→device bytes;
+  * **device**: unit-range scaling, rotation, gamma correction,
+    normalization, downscale — all pure jittable functions fused by XLA
+    into the train step.
+
+Semantics match the reference transform stacks assembled in
+koafusion/datasets/_data_provider.py:286-418 (RandomCrop→ToUnitRange→
+Rotate(±15°, p=.5)→[Gamma p=.5, not for T2]→Normalize per-modality;
+val/test use CenterCrop and drop the stochastic steps), with the stochastic
+state carried by explicit PRNG keys instead of `randomize()` calls.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .rotate import rotate2d, rotate3d_in_slice
+
+# Per-modality normalization stats (koafusion/datasets/_data_provider.py:
+# 323-338): mean/std measured on the OAI preprocessed intensities.
+MODALITY_STATS = {
+    "sag_3d_dess": (0.257, 0.235),
+    "cor_iw_tse": (0.455, 0.290),
+    "sag_t2_map": (0.259, 0.345),
+    "xr_pa": (0.543, 0.296),
+}
+
+# Gamma correction is applied to every imaging modality except the T2 map
+# (it is a quantitative map, cf. _data_provider.py:303-309).
+MODALITY_WITH_GAMMA = {"sag_3d_dess", "cor_iw_tse", "xr_pa"}
+
+
+# ---------------------------------------------------------------------------
+# Host-side crops (numpy, channel-first)
+# ---------------------------------------------------------------------------
+
+def random_crop_np(img: np.ndarray, output_size: Sequence[int],
+                   ratios: Sequence[float]) -> np.ndarray:
+    """Crop (ch, d0, ...) with per-dim start = floor(ratio * (in - out)).
+
+    `ratios` in [0, 1) replace the reference's `randomize()` state
+    (koafusion/preproc/_np_nd.py:62-106).
+    """
+    ds_in = img.shape[1:]
+    for d_in, d_out in zip(ds_in, output_size):
+        if d_in < d_out:
+            raise ValueError(
+                f"Invalid crop size {tuple(output_size)} for input {ds_in}")
+    starts = [math.floor(r * (i - o))
+              for r, i, o in zip(ratios, ds_in, output_size)]
+    sel = tuple([slice(None)] + [slice(s, s + o)
+                                 for s, o in zip(starts, output_size)])
+    return np.ascontiguousarray(img[sel])
+
+
+def center_crop_np(img: np.ndarray, output_size: Sequence[int]) -> np.ndarray:
+    """Center crop (ch, d0, ...) — koafusion/preproc/_np_nd.py:109-144."""
+    ds_in = img.shape[1:]
+    for d_in, d_out in zip(ds_in, output_size):
+        if d_in < d_out:
+            raise ValueError(
+                f"Invalid crop size {tuple(output_size)} for input {ds_in}")
+    offs = [(i - o) // 2 for i, o in zip(ds_in, output_size)]
+    sel = tuple([slice(None)] + [slice(s, s + o)
+                                 for s, o in zip(offs, output_size)])
+    return np.ascontiguousarray(img[sel])
+
+
+# ---------------------------------------------------------------------------
+# Device-side jittable ops
+# ---------------------------------------------------------------------------
+
+def to_unit_range(image: jnp.ndarray) -> jnp.ndarray:
+    """(x - min) / (max - min) over the whole tensor (PTToUnitRange)."""
+    image = image.astype(jnp.float32)
+    lo = jnp.min(image)
+    hi = jnp.max(image)
+    return (image - lo) / (hi - lo)
+
+
+def normalize(image: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Per-channel (x - mean) / std, channel axis 0 (PTNormalize)."""
+    mean = jnp.asarray(mean, jnp.float32).reshape((-1,) + (1,) * (image.ndim - 1))
+    std = jnp.asarray(std, jnp.float32).reshape((-1,) + (1,) * (image.ndim - 1))
+    return (image.astype(jnp.float32) - mean) / std
+
+
+def gamma_correction(image: jnp.ndarray, gamma: jnp.ndarray,
+                     clip_to_unit: bool = False) -> jnp.ndarray:
+    """x ** (1/gamma) (PTGammaCorrection body)."""
+    out = jnp.power(image, 1.0 / gamma)
+    if clip_to_unit:
+        out = jnp.clip(out, 0.0, 1.0)
+    return out
+
+
+def _maybe(p: jnp.ndarray, prob: float, fn, image: jnp.ndarray) -> jnp.ndarray:
+    """Apply fn with probability `prob` (branchless: both paths traced)."""
+    return jnp.where(p < prob, fn(image), image)
+
+
+def make_augment_fn(modality: str, *, degree_range=(-15.0, 15.0),
+                    rot_prob=0.5, gamma_range=(0.5, 2.0), gamma_prob=0.5):
+    """Per-sample training augmentation: (cropped image, key) → float image.
+
+    Input is the host-cropped channel-first array (CH,R,C) for XR or
+    (CH,R,C,S) for MRI. Order matches the reference stacks: ToUnitRange →
+    Rotate → [Gamma] → Normalize.
+    """
+    if modality == "clin":
+        return lambda image, key: image.astype(jnp.float32)
+    mean, std = MODALITY_STATS[modality]
+    with_gamma = modality in MODALITY_WITH_GAMMA
+    deg_lo, deg_hi = (math.radians(degree_range[0]),
+                      math.radians(degree_range[1]))
+
+    def augment(image: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        k_rotp, k_theta, k_gp, k_gamma = jax.random.split(key, 4)
+        image = to_unit_range(image)
+
+        theta = jax.random.uniform(k_theta, (), minval=deg_lo, maxval=deg_hi)
+        rot = (rotate2d if image.ndim == 3 else rotate3d_in_slice)
+        p_rot = jax.random.uniform(k_rotp, ())
+        image = _maybe(p_rot, rot_prob, lambda im: rot(im, theta), image)
+
+        if with_gamma:
+            gamma = jax.random.uniform(k_gamma, (), minval=gamma_range[0],
+                                       maxval=gamma_range[1])
+            p_g = jax.random.uniform(k_gp, ())
+            image = _maybe(p_g, gamma_prob,
+                           lambda im: gamma_correction(im, gamma), image)
+
+        return normalize(image, [mean], [std])
+
+    return augment
+
+
+def make_eval_preproc_fn(modality: str):
+    """Val/test device preprocessing: ToUnitRange → Normalize (no stochastic)."""
+    if modality == "clin":
+        return lambda image: image.astype(jnp.float32)
+    mean, std = MODALITY_STATS[modality]
+
+    def preproc(image: jnp.ndarray) -> jnp.ndarray:
+        return normalize(to_unit_range(image), [mean], [std])
+
+    return preproc

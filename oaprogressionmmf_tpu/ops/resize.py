@@ -1,0 +1,76 @@
+"""Torch-parity linear/bilinear/trilinear resize as MXU matmuls.
+
+The reference's "last-chance preprocessing" downscales batches on device with
+`torch.nn.functional.interpolate(scale_factor=f, recompute_scale_factor=True,
+align_corners=False, mode=linear|bilinear|trilinear)`
+(koafusion/preproc/_pt.py:175-200). Numeric parity matters: the model's
+static shape tables assume exactly `out = floor(in * f)` and the
+half-pixel-center source mapping `src = (dst + 0.5) * in/out - 0.5` (clamped
+at 0), which is what this module reproduces.
+
+TPU-first design: shapes are static under jit, so each axis's interpolation
+is a precomputed (out, in) matrix applied with `dot_general` — separable
+resize becomes a chain of small matmuls that XLA maps straight onto the MXU,
+instead of the gather-heavy form a direct translation would produce.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=128)
+def _interp_matrix(size_in: int, size_out: int) -> np.ndarray:
+    """(out, in) linear-interpolation matrix, align_corners=False."""
+    scale = size_in / size_out
+    dst = np.arange(size_out, dtype=np.float64)
+    src = np.maximum((dst + 0.5) * scale - 0.5, 0.0)
+    i0 = np.floor(src).astype(np.int64)
+    i0 = np.minimum(i0, size_in - 1)
+    i1 = np.minimum(i0 + 1, size_in - 1)
+    w1 = src - i0
+    w0 = 1.0 - w1
+    mat = np.zeros((size_out, size_in), dtype=np.float32)
+    mat[np.arange(size_out), i0] += w0.astype(np.float32)
+    mat[np.arange(size_out), i1] += w1.astype(np.float32)
+    return mat
+
+
+def _resize_axis(x: jnp.ndarray, axis: int, size_out: int) -> jnp.ndarray:
+    size_in = x.shape[axis]
+    if size_in == size_out:
+        return x
+    mat = jnp.asarray(_interp_matrix(size_in, size_out))
+    moved = jnp.moveaxis(x, axis, -1)
+    # full-precision dot: resize parity with torch is semantic (the crop/
+    # downscale chain feeds shape- and value-sensitive normalization)
+    out = jnp.einsum("...i,oi->...o", moved, mat.astype(x.dtype),
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, -1, axis)
+
+
+def interpolate(x: jnp.ndarray, scale_factor) -> jnp.ndarray:
+    """Resize the spatial dims of (B, CH, D0[, D1[, D2]]) like torch.
+
+    ``scale_factor`` is a float or a per-spatial-dim tuple; output size is
+    ``floor(in * f)`` per dim (torch ``recompute_scale_factor=True``).
+    """
+    spatial = x.ndim - 2
+    if spatial not in (1, 2, 3):
+        raise ValueError(f"Expected 3-5D input (B, CH, spatial...), got {x.shape}")
+    if isinstance(scale_factor, (int, float)):
+        scale_factor = (float(scale_factor),) * spatial
+    if len(scale_factor) != spatial:
+        raise ValueError("scale_factor length must match spatial rank")
+
+    out = x
+    for d, f in enumerate(scale_factor):
+        axis = 2 + d
+        size_out = int(math.floor(x.shape[axis] * f))
+        out = _resize_axis(out, axis, size_out)
+    return out

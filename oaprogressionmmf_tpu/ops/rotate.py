@@ -1,0 +1,82 @@
+"""In-plane rotation augmentation with torch affine_grid/grid_sample parity.
+
+Reproduces `PTRotate2D` / `PTRotate3DInSlice` (koafusion/preproc/_pt.py:
+257-360): rotation about the image centre through a normalized affine grid
+(align_corners=False), bilinear resampling with zero padding outside.
+
+The rotation angle is a traced value (random per sample), so the resampling
+cannot be folded into static matrices; it is expressed as four gathers +
+a lerp, which XLA vectorizes on the VPU. Gradients flow through the weights
+(not the integer indices), which is the standard STN formulation.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _grid_sample_bilinear_2d(img: jnp.ndarray, gx: jnp.ndarray,
+                             gy: jnp.ndarray) -> jnp.ndarray:
+    """Sample (H, W) image at normalized grid coords, zero padding.
+
+    gx/gy are (H_out, W_out) in [-1, 1]; unnormalization follows torch
+    align_corners=False: ix = ((gx + 1) * W - 1) / 2.
+    """
+    H, W = img.shape
+    ix = ((gx + 1.0) * W - 1.0) / 2.0
+    iy = ((gy + 1.0) * H - 1.0) / 2.0
+
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    ix1 = ix0 + 1.0
+    iy1 = iy0 + 1.0
+
+    wx1 = ix - ix0
+    wy1 = iy - iy0
+    wx0 = 1.0 - wx1
+    wy0 = 1.0 - wy1
+
+    def gather(yy, xx):
+        valid = ((xx >= 0) & (xx <= W - 1) & (yy >= 0) & (yy <= H - 1))
+        xc = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        return jnp.where(valid, img[yc, xc], 0.0)
+
+    out = (gather(iy0, ix0) * wy0 * wx0 +
+           gather(iy0, ix1) * wy0 * wx1 +
+           gather(iy1, ix0) * wy1 * wx0 +
+           gather(iy1, ix1) * wy1 * wx1)
+    return out
+
+
+def _rotation_grid(theta: jnp.ndarray, H: int, W: int):
+    """Normalized output-pixel coords rotated by theta (torch convention)."""
+    # align_corners=False normalized centers
+    xs = (2.0 * jnp.arange(W) + 1.0) / W - 1.0
+    ys = (2.0 * jnp.arange(H) + 1.0) / H - 1.0
+    xn, yn = jnp.meshgrid(xs, ys)  # (H, W)
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    # theta matrix [[cos, -sin, 0], [sin, cos, 0]] applied to (x, y, 1)
+    gx = cos * xn - sin * yn
+    gy = sin * xn + cos * yn
+    return gx, gy
+
+
+def rotate2d(image: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """Rotate (CH, R, C) image by theta radians about its centre."""
+    ch, H, W = image.shape
+    gx, gy = _rotation_grid(theta, H, W)
+    return jax.vmap(lambda im: _grid_sample_bilinear_2d(im, gx, gy))(image)
+
+
+def rotate3d_in_slice(volume: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
+    """Rotate every (R, C) slice of a (CH, R, C, S) volume by one shared theta.
+
+    Matches PTRotate3DInSlice: a single angle applied per-slice in the
+    row-column plane (koafusion/preproc/_pt.py:283-293).
+    """
+    ch, H, W, S = volume.shape
+    gx, gy = _rotation_grid(theta, H, W)
+    fn = lambda im: _grid_sample_bilinear_2d(im, gx, gy)
+    return jax.vmap(jax.vmap(fn, in_axes=-1, out_axes=-1))(volume)

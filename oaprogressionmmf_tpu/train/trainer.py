@@ -1,0 +1,347 @@
+"""Training-loop runtime: the TPU-native ProgressionPrediction.
+
+Equivalent of the train runtime inside koafusion/run/train_prog_fus.py:
+45-332, re-designed for XLA: the entire per-batch pipeline — device-side
+augmentation (unit-range → rotate → gamma → normalize), "last-chance"
+downscale, bf16 forward, focal loss, backward, optimizer update, BN-stat
+update, LR schedule — is ONE jitted function with donated state. Data
+parallelism comes from the mesh sharding of the batch axis; XLA inserts the
+gradient all-reduce over ICI (replacing nn.DataParallel,
+train_prog_fus.py:84).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import time
+from functools import partial
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models import MODEL_ARITY, dict_models
+from ..ops.losses import dict_losses
+from ..ops.preproc import make_augment_fn, make_eval_preproc_fn
+from ..ops.resize import interpolate
+from ..parallel.mesh import batch_sharding, create_mesh, replicate
+from ..utils.checkpoint import CheckpointHandler, load_ckpt
+from ..utils.metrics import calc_metrics_v2
+from .state import TrainState, create_train_state, state_to_serializable
+
+logger = logging.getLogger("train")
+
+
+class MetricsLogger:
+    """JSONL scalar log (+ TensorBoard when available).
+
+    Replaces the reference's SummaryWriter usage
+    (train_prog_fus.py:104,160-163,277-301)."""
+
+    def __init__(self, path_dir):
+        self.path_dir = Path(path_dir)
+        self.path_dir.mkdir(parents=True, exist_ok=True)
+        self._fh = open(self.path_dir / "scalars.jsonl", "a")
+        self._tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self._tb = SummaryWriter(str(self.path_dir))
+        except Exception:  # tensorboard optional
+            pass
+
+    def scalar(self, tag: str, value, step: int):
+        self._fh.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        if self._tb is not None:
+            self._tb.add_scalar(tag, float(value), global_step=step)
+
+    def flush(self):
+        self._fh.flush()
+        if self._tb is not None:
+            self._tb.flush()
+
+
+def _modality_xs(batch: dict, modals) -> tuple:
+    return tuple(batch[f"image__{m}"] for m in modals)
+
+
+def make_preprocess_fn(modals, downscale, train: bool):
+    """Per-batch device preprocessing for all modalities, jit-fusable."""
+    aug_fns = [make_augment_fn(m) if train else None for m in modals]
+    eval_fns = [make_eval_preproc_fn(m) for m in modals]
+
+    def preprocess(xs: tuple, key=None) -> tuple:
+        out = []
+        for i, (m, x) in enumerate(zip(modals, xs)):
+            if m == "clin":
+                out.append(x.astype(jnp.float32))
+                continue
+            if train:
+                keys = jax.random.split(jax.random.fold_in(key, i),
+                                        x.shape[0])
+                x = jax.vmap(aug_fns[i])(x, keys)
+            else:
+                x = jax.vmap(eval_fns[i])(x)
+            if downscale:
+                x = interpolate(x, tuple(downscale[i]))
+            out.append(x)
+        return tuple(out)
+
+    return preprocess
+
+
+class ProgressionTrainer:
+    """Wires model + optimizer + loss + loaders + checkpointing for one fold."""
+
+    def __init__(self, config, fold_idx: int, *, mesh=None,
+                 compute_dtype=jnp.float32):
+        from ..data.pipeline import BatchLoader, SequentialSampler, \
+            WeightedSampler
+        from ..data.provider import prepare_datasets
+
+        self.config = config
+        self.fold_idx = fold_idx
+        self.mesh = mesh if mesh is not None else create_mesh()
+        self.compute_dtype = compute_dtype
+
+        ds_cfg = next(iter(config.data.sets.values()))
+        self.modals = list(ds_cfg.modals)
+        self.datasets = prepare_datasets(config, fold_idx)[ds_cfg.name]
+
+        arity = MODEL_ARITY[config.model.name]
+        if arity != len(self.modals):
+            raise ValueError(
+                f"Model {config.model.name} expects {arity} modalities, "
+                f"got {self.modals}")
+
+        # loaders
+        train_ds = self.datasets["train"]
+        if config.training.sampler == "weighted":
+            targets = train_ds.df_meta[("-", "target")].values.astype(int)
+            sampler = WeightedSampler(targets, seed=config.seed_train_val)
+        elif config.training.sampler == "default":
+            sampler = SequentialSampler(len(train_ds))
+        else:
+            raise ValueError(f"Invalid sampler {config.training.sampler}")
+
+        nw = int(config.get("num_workers", 8))
+        self.loaders = {
+            "train": BatchLoader(train_ds, sampler,
+                                 int(config.training.batch_size),
+                                 drop_last=True, mesh=self.mesh,
+                                 num_workers=nw),
+            "val": BatchLoader(self.datasets["val"],
+                               SequentialSampler(len(self.datasets["val"])),
+                               int(config.validation.batch_size),
+                               drop_last=True, mesh=self.mesh,
+                               num_workers=nw),
+            "test": BatchLoader(self.datasets["test"],
+                                SequentialSampler(len(self.datasets["test"])),
+                                int(config.testing.batch_size),
+                                drop_last=False, pad_to_batch=True,
+                                mesh=self.mesh, num_workers=nw),
+        }
+
+        # experiment dirs + checkpoint handler (reference layout:
+        # weights/prog/fold_k, train_prog_fus.py:61-72)
+        root = Path(config.path_experiment_root)
+        self.path_weights_fold = root / "weights" / "prog" / f"fold_{fold_idx}"
+        self.path_weights_fold.mkdir(parents=True, exist_ok=True)
+        self.path_logs_fold = root / "logs_train" / f"fold_{fold_idx}"
+        self.tb = MetricsLogger(self.path_logs_fold)
+        self.ckpt = CheckpointHandler(self.path_weights_fold)
+
+        # model + loss
+        model_cfg = config.model.to_dict() if hasattr(config.model, "to_dict") \
+            else dict(config.model)
+        self.model = dict_models[config.model.name](
+            config=model_cfg, compute_dtype=compute_dtype)
+        loss_cfg = config.training.loss
+        self.loss_fn = dict_losses[loss_cfg.name](
+            num_classes=int(config.model.output_channels),
+            **dict(loss_cfg.params))
+
+        self.downscale = (config.model.get("downscale") or None)
+        if self.downscale:
+            self.downscale = [list(f) for f in self.downscale]
+
+        self._preproc_train = make_preprocess_fn(self.modals, self.downscale,
+                                                 train=True)
+        self._preproc_eval = make_preprocess_fn(self.modals, self.downscale,
+                                                train=False)
+
+        # init / resume
+        self.steps_per_epoch = max(1, self.loaders["train"].batches_per_epoch())
+        self._init_state()
+        self._build_steps()
+
+    # ------------------------------------------------------------------
+
+    def _example_inputs(self):
+        """Zero batches with the post-crop shapes (pre-device-preproc)."""
+        sizes = [list(s) for s in self.config.model.input_size]
+        bs = int(self.config.training.batch_size)
+        xs = []
+        for m, size in zip(self.modals, sizes):
+            if m == "clin":
+                xs.append(jnp.zeros((bs, 1, 9), jnp.float32))
+            else:
+                xs.append(jnp.zeros((bs, 1, *size), jnp.float32))
+        return tuple(xs)
+
+    def _init_state(self):
+        xs = self._example_inputs()
+        xs = self._preproc_eval(xs)
+        state, tx, lr_schedule = create_train_state(
+            self.model, self.config, jax.random.key(0), xs,
+            self.steps_per_epoch)
+        self.tx = tx
+        self.lr_schedule = lr_schedule
+        self.state = state
+        self.start_epoch = 0
+
+        last = self.ckpt.get_last_ckpt()
+        if last is not None:
+            payload = load_ckpt(last, target=state_to_serializable(state))
+            self.state = TrainState(step=payload["step"],
+                                    params=payload["params"],
+                                    batch_stats=payload["batch_stats"],
+                                    opt_state=payload["opt_state"])
+            self.start_epoch = int(self.state.step) // self.steps_per_epoch
+            logger.info(f"Resumed from {last} at epoch {self.start_epoch}")
+
+    def _build_steps(self):
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        preproc_train, preproc_eval = self._preproc_train, self._preproc_eval
+
+        def train_step(state: TrainState, xs, ys, key):
+            k_aug, k_drop = jax.random.split(key)
+            xs = preproc_train(xs, k_aug)
+
+            def loss_of(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(variables, *xs, train=True,
+                                  rngs={"dropout": k_drop}, mutable=mutable)
+                out, mutated = out if mutable else (out, {})
+                logits = out["main"] if isinstance(out, dict) else out
+                loss = loss_fn(logits, ys)
+                return loss, (mutated.get("batch_stats", state.batch_stats),
+                              logits)
+
+            (loss, (new_stats, logits)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=new_params,
+                                   batch_stats=new_stats, opt_state=new_opt)
+            return new_state, loss, logits
+
+        def eval_step(params, batch_stats, xs, ys):
+            xs = preproc_eval(xs)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, *xs, train=False)
+            logits = out["main"] if isinstance(out, dict) else out
+            loss = loss_fn(logits, ys)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return loss, probs
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # ------------------------------------------------------------------
+
+    def train_epoch(self, epoch_idx: int) -> dict:
+        losses = []
+        steps = self.loaders["train"].batches_per_epoch()
+        for step_idx, batch in enumerate(self.loaders["train"].epoch(epoch_idx)):
+            xs = _modality_xs(batch, self.modals)
+            ys = batch["target"][:, 0]
+            key = jax.random.fold_in(
+                jax.random.key(self.config.seed_train_val + 1000),
+                epoch_idx * steps + step_idx)
+            self.state, loss, _ = self._train_step(self.state, xs, ys, key)
+            loss = float(loss)
+            losses.append(loss)
+            self.tb.scalar(f"fold_{self.fold_idx}/loss_prog_batch/train",
+                           loss, epoch_idx * steps + step_idx)
+        return {"loss_prog": float(np.mean(losses)) if losses else np.nan}
+
+    def val_epoch(self, epoch_idx: int) -> dict:
+        losses, targets, probas = [], [], []
+        steps = self.loaders["val"].batches_per_epoch()
+        for step_idx, batch in enumerate(self.loaders["val"].epoch(epoch_idx)):
+            xs = _modality_xs(batch, self.modals)
+            ys = batch["target"][:, 0]
+            loss, probs = self._eval_step(self.state.params,
+                                          self.state.batch_stats, xs, ys)
+            losses.append(float(loss))
+            targets.append(np.asarray(ys))
+            probas.append(np.asarray(probs))
+            self.tb.scalar(f"fold_{self.fold_idx}/loss_prog_batch/val",
+                           float(loss), epoch_idx * steps + step_idx)
+        metrics = calc_metrics_v2(
+            prog_target=np.concatenate(targets),
+            prog_pred_proba=np.concatenate(probas),
+            target=self.config.data.target)
+        metrics["loss_prog"] = float(np.mean(losses)) if losses else np.nan
+        return metrics
+
+    def fit(self) -> dict:
+        """Epoch loop with best-checkpoint selection on the val criterion
+        (criterion rules: train_prog_fus.py:241-248)."""
+        crit_name = self.config.validation.criterion
+        if crit_name == "loss":
+            crit_best, crit_rule = float("inf"), lambda new, ref: new <= ref
+        elif crit_name in ("b_accuracy", "avg_precision"):
+            crit_best, crit_rule = 0.0, lambda new, ref: new >= ref
+        else:
+            raise ValueError(f"Unknown criterion: {crit_name}")
+
+        best = {"epoch": -1, "val": {}}
+        num_epochs = int(self.config.training.epochs.num)
+        for epoch_idx in range(self.start_epoch, num_epochs):
+            t0 = time.time()
+            metrics_train = self.train_epoch(epoch_idx)
+            metrics_val = self.val_epoch(epoch_idx)
+
+            for k, v in {**{f"train/{k}": v for k, v in metrics_train.items()},
+                         **{f"val/{k}": v for k, v in metrics_val.items()}}.items():
+                if isinstance(v, (int, float, np.floating)) and np.isfinite(v):
+                    self.tb.scalar(f"fold_{self.fold_idx}/{k}", v, epoch_idx)
+            lr_now = float(self.lr_schedule(int(self.state.step)))
+            self.tb.scalar(f"fold_{self.fold_idx}/learning_rate", lr_now,
+                           epoch_idx)
+            self.tb.flush()
+            logger.info(
+                f"fold {self.fold_idx} epoch {epoch_idx}: "
+                f"train_loss={metrics_train['loss_prog']:.4f} "
+                f"val_loss={metrics_val['loss_prog']:.4f} "
+                f"val_{crit_name}="
+                f"{metrics_val.get(crit_name, metrics_val['loss_prog'])} "
+                f"({time.time() - t0:.1f}s)")
+
+            crit_curr = metrics_val["loss_prog"] if crit_name == "loss" \
+                else metrics_val[crit_name]
+            if np.isnan(crit_curr):
+                continue
+            if crit_rule(crit_curr, crit_best):
+                crit_best = crit_curr
+                best = {"epoch": epoch_idx, "val": metrics_val}
+                self.ckpt.save_new_ckpt(
+                    state_to_serializable(self.state),
+                    model_name=self.config.model.name,
+                    fold_idx=self.fold_idx, epoch_idx=epoch_idx)
+
+        logger.info(f"Finished fold {self.fold_idx}: best {crit_name}="
+                    f"{crit_best} at epoch {best['epoch']}")
+        return {"criterion": crit_name, "best": crit_best,
+                "epoch": best["epoch"], "val_metrics": best["val"]}

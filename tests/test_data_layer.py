@@ -1,0 +1,170 @@
+"""Data layer: index join, provider exclusions/splits, dataset reads,
+sampler/loader behavior — against a synthetic OAI tree."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from oaprogressionmmf_tpu.data import (
+    DatasetOAI3d, index_from_path_oai, sources_from_path)
+from oaprogressionmmf_tpu.data.pipeline import (
+    BatchLoader, SequentialSampler, WeightedSampler)
+from oaprogressionmmf_tpu.data.provider import prepare_datasets
+
+from synth_oai import build_synth_tree, make_synth_config
+
+
+@pytest.fixture(scope="module")
+def synth_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("oai") / "data"
+    df = build_synth_tree(root, n_patients=12)
+    return root, df
+
+
+def test_index_inner_join_all_modalities(synth_root):
+    root, df_clin = synth_root
+    df = index_from_path_oai(root, ["clin", "xr_pa", "sag_3d_dess"],
+                             ignore_cache=True)
+    assert len(df) == len(df_clin)  # every exam has every modality
+    assert ("-", "exam_knee_id") in df.columns
+    assert ("xr_pa", "path_image") in df.columns
+    assert ("sag_3d_dess", "path_image") in df.columns
+    # exam ids are patient__visit__side
+    eid = df[("-", "exam_knee_id")].iloc[0]
+    assert eid.count("__") == 2
+
+
+def test_index_cache_roundtrip(synth_root):
+    root, _ = synth_root
+    df1 = index_from_path_oai(root, ["clin", "xr_pa"], ignore_cache=True)
+    df2 = index_from_path_oai(root, ["clin", "xr_pa"], ignore_cache=False)
+    assert len(df1) == len(df2)
+    assert list(df1.columns) == list(df2.columns)
+
+
+def test_sources_site_split_and_folds(synth_root):
+    root, _ = synth_root
+    src = sources_from_path(
+        path_data_root=root, modals_all=["clin", "xr_pa"],
+        target="prog_kl_48", fold_num=3, scheme_train_val="strat_target",
+        seed_trainval_test=0, site_test="D", seed_train_val=0)["oai"]
+    assert (src["test_df"][("-", "V00SITE")] == "D").all()
+    assert (src["trainval_df"][("-", "V00SITE")] != "D").all()
+    assert len(src["trainval_folds"]) == 3
+    # folds partition trainval and keep patients grouped
+    tv = src["trainval_df"]
+    for tr, va in src["trainval_folds"]:
+        p_tr = set(tv.iloc[tr][("-", "patient")])
+        p_va = set(tv.iloc[va][("-", "patient")])
+        assert p_tr.isdisjoint(p_va)
+
+
+def test_sources_one_site_out(synth_root):
+    root, _ = synth_root
+    src = sources_from_path(
+        path_data_root=root, modals_all=["clin", "xr_pa"],
+        target="prog_kl_48", fold_num=3, scheme_train_val="one_site_out",
+        seed_trainval_test=0, site_test="D", seed_train_val=0)["oai"]
+    # sites A(+E), B, C remain -> 3 folds
+    assert len(src["trainval_folds"]) == 3
+
+
+def test_dataset_reads_and_shapes(synth_root):
+    root, _ = synth_root
+    df = index_from_path_oai(root, ["clin", "xr_pa", "sag_3d_dess"],
+                             ignore_cache=True)
+    df[("-", "target")] = df[("-", "prog_kl_48")]
+    ds = DatasetOAI3d(df, ["xr_pa", "sag_3d_dess", "clin"],
+                      crop_sizes=[[64, 64], [64, 64, 4], [16]], train=False)
+    item = ds.get(0)
+    assert item["image__xr_pa"].shape == (1, 64, 64)
+    assert item["image__sag_3d_dess"].shape == (1, 64, 64, 4)
+    assert item["image__clin"].shape == (1, 9)
+    assert item["target"].shape == (1,)
+    assert isinstance(item["exam_knee_id"], str)
+
+
+def test_dataset_right_knee_flipped(synth_root):
+    root, _ = synth_root
+    df = index_from_path_oai(root, ["clin", "xr_pa"], ignore_cache=True)
+    df[("-", "target")] = df[("-", "prog_kl_48")]
+    ds = DatasetOAI3d(df, ["xr_pa"], crop_sizes=None)
+    right_rows = df[df[("-", "side")] == "RIGHT"]
+    idx = df.index.get_loc(right_rows.index[0])
+    item = ds.get(idx)
+    # raw PNG (unflipped) must equal the horizontally flipped output
+    from oaprogressionmmf_tpu.utils.formats import png_to_numpy
+    raw = png_to_numpy(right_rows.iloc[0][("xr_pa", "path_image")])
+    np.testing.assert_array_equal(item["image__xr_pa"][0], raw[:, ::-1])
+
+
+def test_dataset_train_crops_replayable(synth_root):
+    root, _ = synth_root
+    df = index_from_path_oai(root, ["clin", "xr_pa"], ignore_cache=True)
+    df[("-", "target")] = df[("-", "prog_kl_48")]
+    ds = DatasetOAI3d(df, ["xr_pa"], crop_sizes=[[64, 64]], train=True,
+                      seed=7)
+    a = ds.get(0, epoch=3)["image__xr_pa"]
+    b = ds.get(0, epoch=3)["image__xr_pa"]
+    c = ds.get(0, epoch=4)["image__xr_pa"]
+    np.testing.assert_array_equal(a, b)
+    assert np.abs(a - c).max() > 0  # different epoch, different crop
+
+
+def test_clin_vector_standardization(synth_root):
+    root, _ = synth_root
+    df = index_from_path_oai(root, ["clin", "xr_pa"], ignore_cache=True)
+    df[("-", "target")] = df[("-", "prog_kl_48")]
+    ds = DatasetOAI3d(df, ["clin"], crop_sizes=None)
+    row = dict(df.iloc[0])
+    vec = ds.get(0)["clin_vec"]
+    assert vec.shape == (9,)
+    np.testing.assert_allclose(
+        vec[0], (float(row[("-", "AGE")]) - 60.945) / 9.209, rtol=1e-5)
+    # one-hot sanity: sex, inj, surg blocks each sum to 1
+    assert vec[1] + vec[2] == 1.0
+    assert vec[4] + vec[5] == 1.0
+    assert vec[6] + vec[7] == 1.0
+
+
+def test_weighted_sampler_balances_classes():
+    targets = np.array([0] * 90 + [1] * 10)
+    s = WeightedSampler(targets, seed=0)
+    idx = np.concatenate([s.epoch_indices(e) for e in range(20)])
+    frac_pos = targets[idx].mean()
+    assert 0.4 < frac_pos < 0.6  # near-balanced despite 9:1 imbalance
+    np.testing.assert_array_equal(s.epoch_indices(3), s.epoch_indices(3))
+
+
+def test_batch_loader_shapes_and_drop_last(synth_root):
+    root, _ = synth_root
+    df = index_from_path_oai(root, ["clin", "xr_pa"], ignore_cache=True)
+    df[("-", "target")] = df[("-", "prog_kl_48")]
+    ds = DatasetOAI3d(df, ["xr_pa"], crop_sizes=[[64, 64]])
+    n = len(ds)
+    loader = BatchLoader(ds, SequentialSampler(n), batch_size=5,
+                         drop_last=True, mesh=None, num_workers=2)
+    batches = list(loader.epoch(0))
+    assert len(batches) == n // 5
+    assert batches[0]["image__xr_pa"].shape == (5, 1, 64, 64)
+    assert len(batches[0]["exam_knee_id"]) == 5
+
+    loader2 = BatchLoader(ds, SequentialSampler(n), batch_size=5,
+                          drop_last=False, pad_to_batch=True, num_workers=2)
+    batches2 = list(loader2.epoch(0))
+    assert len(batches2) == -(-n // 5)
+    assert batches2[-1]["_n_valid"] == n - (len(batches2) - 1) * 5
+    assert batches2[-1]["image__xr_pa"].shape[0] == 5  # padded
+
+
+def test_prepare_datasets_end_to_end(synth_root, tmp_path):
+    root, _ = synth_root
+    config = make_synth_config(tmp_path, model_name="XR1Cnn",
+                               modals=("xr_pa",))
+    config["path_data_root"] = str(root)
+    out = prepare_datasets(config, fold_idx=0)["oai"]
+    assert {"train", "val", "test", "sel"} <= set(out)
+    assert len(out["train"]) > 0 and len(out["val"]) > 0
+    assert len(out["test"]) > 0
+    item = out["train"].get(0, epoch=0)
+    assert item["image__xr_pa"].shape == (1, 64, 64)

@@ -1,0 +1,89 @@
+"""End-to-end integration: 1 fold × 1 epoch on a synthetic OAI tree,
+then fold-wise eval + ensemble + explanation (SURVEY.md §4 implication)."""
+
+import pickle
+
+import numpy as np
+import pytest
+
+from synth_oai import build_synth_tree, make_synth_config
+
+
+@pytest.fixture(scope="module")
+def trained_experiment(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("exp")
+    build_synth_tree(tmp / "data", n_patients=12, modals=("xr_pa",))
+    config = make_synth_config(tmp, model_name="XR1Cnn", modals=("xr_pa",))
+
+    from oaprogressionmmf_tpu.train.trainer import ProgressionTrainer
+    summary = {}
+    for fold_idx in range(2):
+        trainer = ProgressionTrainer(config, fold_idx)
+        summary[fold_idx] = trainer.fit()
+    return tmp, config, summary
+
+
+def test_training_produces_checkpoints_and_metrics(trained_experiment):
+    tmp, config, summary = trained_experiment
+    for fold_idx in range(2):
+        ckpts = list((tmp / "results" / "weights" / "prog" /
+                      f"fold_{fold_idx}").glob("*.ckpt"))
+        assert len(ckpts) == 1, f"fold {fold_idx}: {ckpts}"
+        assert ckpts[0].name.startswith("XR1Cnn__fold_")
+        assert np.isfinite(summary[fold_idx]["best"])
+    scalars = tmp / "results" / "logs_train" / "fold_0" / "scalars.jsonl"
+    assert scalars.exists() and scalars.stat().st_size > 0
+
+
+def test_eval_and_ensemble(trained_experiment):
+    tmp, config, _ = trained_experiment
+    from oaprogressionmmf_tpu.train.evaluator import ProgressionEvaluator
+
+    config["testing"]["folds"] = {"idx": -1, "ignore": [2]}
+    config["training"]["folds"]["num"] = 2  # only 2 folds trained
+    ev = ProgressionEvaluator(config)
+    results = ev.eval()
+
+    raw = results["raw_foldw"]
+    assert set(raw) == {0, 1}
+    n_test = len(raw[0]["exam_knee_id"])
+    assert n_test > 0
+    assert len(raw[0]["predict_proba"][0]) == 2
+
+    ens = results["raw_ens"]
+    assert len(ens["exam_knee_id"]) == n_test
+    # double-softmax ensemble keeps probabilities normalized
+    np.testing.assert_allclose(
+        np.asarray(ens["predict_proba"]).sum(axis=1), 1.0, atol=1e-5)
+
+    # pickles on disk with the reference cache names
+    logs = tmp / "results" / "logs_eval"
+    for name in ("eval_fus_raw_foldw.pkl", "eval_fus_raw_ens.pkl",
+                 "eval_fus_metrics_foldw.pkl", "eval_fus_metrics_ens.pkl"):
+        assert (logs / name).exists(), name
+
+    metrics = pickle.loads((logs / "eval_fus_metrics_ens.pkl").read_bytes())
+    assert "roc_auc" in metrics and "avg_ppv_calib" in metrics
+
+
+def test_explain_modal_ablation(trained_experiment):
+    tmp, config, _ = trained_experiment
+    from oaprogressionmmf_tpu.train.evaluator import ProgressionEvaluator
+
+    config["testing"]["folds"] = {"idx": 0, "ignore": None}
+    config["training"]["folds"]["num"] = 2
+    ev = ProgressionEvaluator(config)
+    results = ev.explain()
+    raw = results["raw_foldw"][0]
+    percent = np.asarray(raw["modal_abl_percent"])
+    # single modality -> 100% utilization
+    np.testing.assert_allclose(percent, 100.0, atol=1e-3)
+    assert raw["modal_names"][0] == ["xr_pa"]
+
+
+def test_resume_restarts_from_checkpoint(trained_experiment):
+    tmp, config, _ = trained_experiment
+    from oaprogressionmmf_tpu.train.trainer import ProgressionTrainer
+    trainer = ProgressionTrainer(config, fold_idx=0)
+    # epoch 0 already trained and saved -> resume starts at epoch >= 1
+    assert trainer.start_epoch >= 1

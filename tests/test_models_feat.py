@@ -1,0 +1,129 @@
+"""FeaT transformer: semantics parity with the reference core.
+
+Oracle: a minimal torch implementation of the same computation graph
+(pre-LN blocks, fused QKV without bias, full-width softmax scale, CLS +
+learned pos-emb, per-output MLP heads) — the semantics documented from
+koafusion/models/_core_trf.py:74-205. Weights are copied from the flax init
+so outputs must match numerically.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+
+from oaprogressionmmf_tpu.models import FeaT
+
+
+def _torch_feat_forward(params, feats, depth, heads, num_outputs):
+    """Reference-semantics forward in torch using flax params."""
+    t = lambda a: torch.from_numpy(np.asarray(a, np.float32))
+    x = t(feats)
+    emb_k = t(params["patch_to_embedding"]["kernel"])
+    emb_b = t(params["patch_to_embedding"]["bias"])
+    x = x @ emb_k + emb_b
+    B = x.shape[0]
+    cls = t(params["cls_token"]).expand(B, -1, -1)
+    x = torch.cat([cls, x], dim=1)
+    x = x + t(params["pos_embedding"])
+    dim = x.shape[-1]
+    scale = dim ** -0.5
+
+    tr = params["transformer"]
+    for d in range(depth):
+        ln = tr[f"prenorm_0_{d}"]
+        o = torch.nn.functional.layer_norm(x, (dim,), t(ln["scale"]),
+                                           t(ln["bias"]), eps=1e-5)
+        qkv = o @ t(tr[f"attn_{d}"]["to_qkv"]["kernel"])
+        q, k, v = qkv.chunk(3, dim=-1)
+        q = q.view(B, -1, heads, dim // heads).transpose(1, 2)
+        k = k.view(B, -1, heads, dim // heads).transpose(1, 2)
+        v = v.view(B, -1, heads, dim // heads).transpose(1, 2)
+        attn = torch.softmax(q @ k.transpose(-2, -1) * scale, dim=-1)
+        o = (attn @ v).transpose(1, 2).reshape(B, -1, dim)
+        o = o @ t(tr[f"attn_{d}"]["to_out"]["kernel"]) + \
+            t(tr[f"attn_{d}"]["to_out"]["bias"])
+        x = o + x
+        ln = tr[f"prenorm_1_{d}"]
+        ff = torch.nn.functional.layer_norm(x, (dim,), t(ln["scale"]),
+                                            t(ln["bias"]), eps=1e-5)
+        ffp = tr[f"ff_{d}"]
+        ff = ff @ t(ffp["Dense_0"]["kernel"]) + t(ffp["Dense_0"]["bias"])
+        ff = torch.nn.functional.gelu(ff)
+        ff = ff @ t(ffp["Dense_1"]["kernel"]) + t(ffp["Dense_1"]["bias"])
+        x = ff + x
+
+    outs = []
+    for i in range(num_outputs):
+        h = x[:, i]
+        hp = params
+        h = torch.nn.functional.layer_norm(
+            h, (dim,), t(hp[f"mlp_head{i}_norm"]["scale"]),
+            t(hp[f"mlp_head{i}_norm"]["bias"]), eps=1e-5)
+        h = h @ t(hp[f"mlp_head{i}_dense0"]["kernel"]) + \
+            t(hp[f"mlp_head{i}_dense0"]["bias"])
+        h = torch.nn.functional.gelu(h)
+        h = h @ t(hp[f"mlp_head{i}_dense1"]["kernel"]) + \
+            t(hp[f"mlp_head{i}_dense1"]["bias"])
+        outs.append(h)
+    return torch.stack(outs, dim=1).numpy(), x.numpy()
+
+
+def test_feat_matches_torch_semantics():
+    depth, heads, P, pd, ed = 2, 2, 6, 16, 32
+    model = FeaT(num_patches=P, patch_dim=pd, emb_dim=ed, depth=depth,
+                 heads=heads, mlp_dim=24, num_classes=2)
+    feats = np.random.RandomState(0).randn(3, P, pd).astype(np.float32)
+    variables = model.init(jax.random.key(0), jnp.asarray(feats))
+    out, states, _ = model.apply(variables, jnp.asarray(feats),
+                                 deterministic=True)
+    want_out, want_states = _torch_feat_forward(
+        variables["params"], feats, depth, heads, num_outputs=1)
+    np.testing.assert_allclose(np.asarray(out), want_out, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(states), want_states, atol=2e-4)
+
+
+def test_feat_no_cls_returns_contextualized_states():
+    model = FeaT(num_patches=5, patch_dim=8, emb_dim=16, depth=1, heads=2,
+                 mlp_dim=16, num_classes=2, with_cls=False)
+    x = jnp.asarray(np.random.RandomState(1).randn(2, 5, 8), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    out, states, _ = model.apply(variables, x, deterministic=True)
+    assert states.shape == (2, 5, 16)  # no CLS prepended
+    assert "cls_token" not in variables["params"]
+
+
+def test_feat_returns_attention_maps_when_requested():
+    model = FeaT(num_patches=4, patch_dim=8, emb_dim=16, depth=2, heads=2,
+                 mlp_dim=16, num_classes=2)
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 4, 8), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    _, _, attns = model.apply(variables, x, deterministic=True,
+                              return_attn=True)
+    assert len(attns) == 2
+    assert attns[0].shape == (1, 2, 5, 5)  # +1 CLS token
+    np.testing.assert_allclose(np.asarray(attns[0].sum(-1)), 1.0, atol=1e-5)
+
+
+def test_feat_flash_and_reference_paths_agree():
+    model = FeaT(num_patches=10, patch_dim=8, emb_dim=32, depth=1, heads=2,
+                 mlp_dim=16, num_classes=2)
+    x = jnp.asarray(np.random.RandomState(3).randn(2, 10, 8), jnp.float32)
+    variables = model.init(jax.random.key(0), x)
+    out_flash, _, _ = model.apply(variables, x, deterministic=True,
+                                  return_attn=False)
+    out_ref, _, _ = model.apply(variables, x, deterministic=True,
+                                return_attn=True)
+    np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
+                               atol=1e-4)
+
+
+def test_feat_multi_output_heads():
+    model = FeaT(num_patches=4, patch_dim=8, emb_dim=16, depth=1, heads=2,
+                 mlp_dim=16, num_classes=3, num_cls_tokens=2, num_outputs=2)
+    x = jnp.ones((2, 4, 8))
+    variables = model.init(jax.random.key(0), x)
+    out, _, _ = model.apply(variables, x, deterministic=True)
+    assert out.shape == (2, 2, 3)

@@ -1,0 +1,142 @@
+"""ResNet encoder: torch-checkpoint import parity + shape contracts."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as tnn
+import torch.nn.functional as TF
+
+from oaprogressionmmf_tpu.models.resnet import (
+    ResNetFE, Bottleneck, BasicBlock, convert_torch_resnet_state,
+    resnet50, resnext50_32x4d)
+
+
+# ---------------------------------------------------------------------------
+# Tiny torch oracle with torchvision-compatible parameter naming
+# ---------------------------------------------------------------------------
+
+class _TorchBottleneck(tnn.Module):
+    def __init__(self, cin, planes, stride, groups, base_width):
+        super().__init__()
+        width = int(planes * base_width / 64.0) * groups
+        self.conv1 = tnn.Conv2d(cin, width, 1, bias=False)
+        self.bn1 = tnn.BatchNorm2d(width)
+        self.conv2 = tnn.Conv2d(width, width, 3, stride, 1, groups=groups,
+                                bias=False)
+        self.bn2 = tnn.BatchNorm2d(width)
+        self.conv3 = tnn.Conv2d(width, planes * 4, 1, bias=False)
+        self.bn3 = tnn.BatchNorm2d(planes * 4)
+        if stride != 1 or cin != planes * 4:
+            self.downsample = tnn.Sequential(
+                tnn.Conv2d(cin, planes * 4, 1, stride, bias=False),
+                tnn.BatchNorm2d(planes * 4))
+        else:
+            self.downsample = None
+
+    def forward(self, x):
+        idt = x if self.downsample is None else self.downsample(x)
+        y = TF.relu(self.bn1(self.conv1(x)))
+        y = TF.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return TF.relu(y + idt)
+
+
+class _TorchResNet(tnn.Module):
+    def __init__(self, stage_sizes=(1, 1, 1, 1), groups=1, base_width=64):
+        super().__init__()
+        self.conv1 = tnn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = tnn.BatchNorm2d(64)
+        cin = 64
+        for s, n in enumerate(stage_sizes):
+            blocks = []
+            for b in range(n):
+                stride = 2 if s > 0 and b == 0 else 1
+                blocks.append(_TorchBottleneck(cin, 64 * 2 ** s, stride,
+                                               groups, base_width))
+                cin = 64 * 2 ** s * 4
+            setattr(self, f"layer{s + 1}", tnn.Sequential(*blocks))
+
+    def forward(self, x):
+        x = TF.relu(self.bn1(self.conv1(x)))
+        x = TF.max_pool2d(x, 3, 2, 1)
+        for s in range(4):
+            x = getattr(self, f"layer{s + 1}")(x)
+        return x.mean(dim=(2, 3))
+
+
+@pytest.mark.parametrize("groups,base_width", [(1, 64), (2, 4)])
+def test_torch_weight_import_parity(groups, base_width):
+    torch.manual_seed(0)
+    tm = _TorchResNet(stage_sizes=(1, 1, 1, 1), groups=groups,
+                      base_width=base_width).eval()
+    # randomize BN stats so running-stat import is actually exercised
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, tnn.BatchNorm2d):
+                m.running_mean.uniform_(-0.5, 0.5)
+                m.running_var.uniform_(0.5, 1.5)
+
+    x = np.random.RandomState(0).rand(2, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x)).numpy()
+
+    params, stats = convert_torch_resnet_state(tm.state_dict())
+    fm = ResNetFE(stage_sizes=(1, 1, 1, 1), block_cls=Bottleneck,
+                  groups=groups, base_width=base_width, with_gap=True)
+    out = fm.apply({"params": params, "batch_stats": stats},
+                   jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
+
+
+def test_converted_tree_matches_init_structure():
+    torch.manual_seed(1)
+    tm = _TorchResNet(stage_sizes=(1, 1, 1, 1))
+    params, stats = convert_torch_resnet_state(tm.state_dict())
+    fm = ResNetFE(stage_sizes=(1, 1, 1, 1), block_cls=Bottleneck)
+    variables = fm.init(jax.random.key(0), jnp.ones((1, 32, 32, 3)))
+
+    def paths(tree, prefix=()):
+        out = set()
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out |= paths(v, prefix + (k,))
+            else:
+                out.add(prefix + (k, v.shape))
+        return out
+
+    assert paths(variables["params"]) == paths(params)
+    assert paths(variables["batch_stats"]) == paths(stats)
+
+
+@pytest.mark.parametrize("size,expect", [(320, 10), (160, 5), (128, 4),
+                                         (96, 3), (64, 2), (32, 1),
+                                         (350, 11), (25, 1)])
+def test_fe_spatial_oracle(size, expect):
+    """The static shape table (SURVEY.md: _mrN_cnn_trf.py:55) must match the
+    actual stride-32 encoder output."""
+    fm = ResNetFE(stage_sizes=(1, 1, 1, 1), block_cls=BasicBlock,
+                  with_gap=False)
+    variables = fm.init(jax.random.key(0), jnp.ones((1, size, size, 3)))
+    out = fm.apply(variables, jnp.ones((1, size, size, 3)), train=False)
+    assert out.shape[1] == expect and out.shape[2] == expect
+
+
+def test_resnet50_output_channels():
+    fm = resnet50(with_gap=True)
+    variables = fm.init(jax.random.key(0), jnp.ones((1, 64, 64, 3)))
+    out = fm.apply(variables, jnp.ones((2, 64, 64, 3)), train=False)
+    assert out.shape == (2, 2048)
+
+
+def test_batch_stats_update_in_train_mode():
+    fm = ResNetFE(stage_sizes=(1,), block_cls=BasicBlock)
+    variables = fm.init(jax.random.key(0), jnp.ones((2, 32, 32, 3)))
+    x = jnp.asarray(np.random.RandomState(2).rand(2, 32, 32, 3),
+                    jnp.float32)
+    _, mutated = fm.apply(variables, x, train=True, mutable=["batch_stats"])
+    before = variables["batch_stats"]["bn1"]["mean"]
+    after = mutated["batch_stats"]["bn1"]["mean"]
+    assert np.abs(np.asarray(after - before)).max() > 0

@@ -1,0 +1,151 @@
+"""Golden-value parity tests of device preprocessing vs torch CPU."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as TF
+
+from oaprogressionmmf_tpu.ops import (
+    interpolate, rotate2d, rotate3d_in_slice, to_unit_range, normalize,
+    gamma_correction, center_crop_np, random_crop_np,
+)
+
+
+# ---------------------------------------------------------------------------
+# interpolate ↔ torch.nn.functional.interpolate parity
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,factor,mode", [
+    ((2, 1, 21), (0.5,), "linear"),
+    ((1, 1, 35, 35), (0.5, 0.5), "bilinear"),
+    ((2, 1, 16, 16, 10), (0.5, 0.5, 1.0), "trilinear"),
+    ((1, 1, 10, 10), (1.7, 1.3), "bilinear"),
+])
+def test_interpolate_matches_torch(shape, factor, mode):
+    rng = np.random.RandomState(0)
+    x = rng.rand(*shape).astype(np.float32)
+    want = TF.interpolate(torch.from_numpy(x), scale_factor=factor,
+                          recompute_scale_factor=True, align_corners=False,
+                          mode=mode).numpy()
+    got = np.asarray(interpolate(jnp.asarray(x), factor))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+# ---------------------------------------------------------------------------
+# rotation ↔ torch affine_grid/grid_sample parity
+# ---------------------------------------------------------------------------
+
+def _torch_rotate2d(x_np, theta):
+    x = torch.from_numpy(x_np)[None]  # (1, CH, R, C)
+    rot = torch.tensor([[np.cos(theta), -np.sin(theta), 0],
+                        [np.sin(theta), np.cos(theta), 0]],
+                       dtype=x.dtype)[None]
+    grid = TF.affine_grid(rot, x.size(), align_corners=False)
+    return TF.grid_sample(x, grid, align_corners=False)[0].numpy()
+
+
+@pytest.mark.parametrize("theta_deg", [-15.0, 90.0])
+def test_rotate2d_matches_torch(theta_deg):
+    rng = np.random.RandomState(1)
+    x = rng.rand(1, 33, 37).astype(np.float32)
+    theta = np.deg2rad(theta_deg)
+    want = _torch_rotate2d(x, theta)
+    got = np.asarray(rotate2d(jnp.asarray(x), jnp.float32(theta)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rotate3d_in_slice_matches_torch():
+    rng = np.random.RandomState(2)
+    vol = rng.rand(1, 24, 24, 5).astype(np.float32)
+    theta = np.deg2rad(-12.0)
+    # torch path: (s, ch, r, c) batch rotation as in PTRotate3DInSlice
+    x = torch.from_numpy(np.moveaxis(vol, -1, 0))  # (S, CH, R, C)
+    rot = torch.tensor([[np.cos(theta), -np.sin(theta), 0],
+                        [np.sin(theta), np.cos(theta), 0]],
+                       dtype=x.dtype)[None].repeat(x.shape[0], 1, 1)
+    grid = TF.affine_grid(rot, x.size(), align_corners=False)
+    want = np.moveaxis(TF.grid_sample(x, grid, align_corners=False).numpy(),
+                       0, -1)
+    got = np.asarray(rotate3d_in_slice(jnp.asarray(vol), jnp.float32(theta)))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# scalar transforms
+# ---------------------------------------------------------------------------
+
+def test_to_unit_range():
+    x = jnp.asarray([[2.0, 4.0], [6.0, 10.0]])
+    out = np.asarray(to_unit_range(x))
+    assert out.min() == 0.0 and out.max() == 1.0
+    np.testing.assert_allclose(out, (np.asarray(x) - 2) / 8)
+
+
+def test_normalize_channelwise():
+    x = jnp.ones((2, 3, 3))
+    out = np.asarray(normalize(x, mean=[1.0, 0.5], std=[0.5, 0.25]))
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[1], 2.0)
+
+
+def test_gamma_correction():
+    x = jnp.asarray([0.25, 0.5, 1.0])
+    out = np.asarray(gamma_correction(x, jnp.float32(2.0)))
+    np.testing.assert_allclose(out, np.asarray(x) ** 0.5, atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# host crops (reference-parity with preproc/_np_nd.py)
+# ---------------------------------------------------------------------------
+
+def test_random_crop_matches_reference_offsets():
+    rng = np.random.RandomState(3)
+    img = rng.rand(1, 10, 12)
+    out = random_crop_np(img, (4, 6), ratios=(0.5, 0.999))
+    # start = floor(0.5*(10-4)) = 3 ; floor(0.999*(12-6)) = 5
+    np.testing.assert_array_equal(out, img[:, 3:7, 5:11])
+
+
+def test_center_crop():
+    rng = np.random.RandomState(4)
+    img = rng.rand(1, 10, 13)
+    out = center_crop_np(img, (4, 5))
+    np.testing.assert_array_equal(out, img[:, 3:7, 4:9])
+
+
+def test_crop_too_small_raises():
+    img = np.zeros((1, 4, 4))
+    with pytest.raises(ValueError):
+        center_crop_np(img, (8, 8))
+    with pytest.raises(ValueError):
+        random_crop_np(img, (8, 8), ratios=(0.5, 0.5))
+
+
+def test_augment_fn_deterministic_given_key():
+    from oaprogressionmmf_tpu.ops import make_augment_fn
+    aug = make_augment_fn("sag_3d_dess")
+    rng = np.random.RandomState(5)
+    vol = jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32))
+    key = jax.random.key(0)
+    a = np.asarray(aug(vol, key))
+    b = np.asarray(aug(vol, key))
+    np.testing.assert_array_equal(a, b)
+    # at least one other key must produce a different augmentation
+    diffs = [np.abs(a - np.asarray(aug(vol, jax.random.key(s)))).max()
+             for s in range(1, 6)]
+    assert max(diffs) > 0
+
+
+def test_eval_preproc_is_unit_range_then_normalize():
+    from oaprogressionmmf_tpu.ops import make_eval_preproc_fn
+    fn = make_eval_preproc_fn("xr_pa")
+    rng = np.random.RandomState(6)
+    img = jnp.asarray((rng.rand(1, 8, 8) * 255).astype(np.float32))
+    out = np.asarray(fn(img))
+    x = np.asarray(img)
+    expect = ((x - x.min()) / (x.max() - x.min()) - 0.543) / 0.296
+    np.testing.assert_allclose(out, expect, atol=1e-5)
