@@ -1,0 +1,136 @@
+"""Result analysis: subgroup metrics, bootstrap CIs, paired permutation
+tests, modality-utilization summaries.
+
+Library form of the reference's Analysis_Visualization notebook (cells 15,
+28-34): loads the prediction pickles the eval apps emit and computes the
+statistics the paper reports. All functions are pure host-side numpy/scipy.
+"""
+
+from __future__ import annotations
+
+import pickle
+from pathlib import Path
+
+import numpy as np
+import pandas as pd
+from scipy import stats
+
+from .utils.metrics import (average_precision_score, calc_metrics_v2,
+                            roc_auc_score)
+
+# analysis-time calibrated-PPV prevalence (notebook cell 15; in-loop eval
+# uses 0.12)
+ANALYSIS_PI0 = 0.15
+
+
+def load_predictions(path_pickle) -> dict:
+    return pickle.loads(Path(path_pickle).read_bytes())
+
+
+def predictions_to_arrays(raw: dict) -> tuple[np.ndarray, np.ndarray]:
+    """Raw prediction dict → (targets (N,), probas (N, C))."""
+    y = np.asarray([np.asarray(t).ravel()[0] for t in raw["target"]])
+    p = np.asarray([np.asarray(t) for t in raw["predict_proba"]])
+    return y, p
+
+
+def select_subset(df: pd.DataFrame, subset: str) -> pd.DataFrame:
+    """Inj/Surg subgroup selection used by the subgroup figures."""
+    if subset == "all":
+        return df
+    if subset == "inj0_surg0":
+        return df[(df[("-", "P01INJ-")] == 0) & (df[("-", "P01KSURG-")] == 0)]
+    if subset == "inj1_surg0":
+        return df[(df[("-", "P01INJ-")] == 1) & (df[("-", "P01KSURG-")] == 0)]
+    if subset == "surg1":
+        return df[df[("-", "P01KSURG-")] == 1]
+    raise ValueError(f"Unknown subset: {subset}")
+
+
+def metrics_for_experiment(y_true, pred_proba, target, *,
+                           bootstrap: bool = True, pi0: float = ANALYSIS_PI0,
+                           n_bootstrap: int = 1000) -> dict:
+    """One-shot + bootstrapped metric suite for one experiment (cell 15)."""
+    out = calc_metrics_v2(prog_target=y_true, prog_pred_proba=pred_proba,
+                          target=target, with_curves=True,
+                          kws_ppv={"pi0": pi0})
+    if bootstrap:
+        bs = calc_metrics_v2(prog_target=y_true, prog_pred_proba=pred_proba,
+                             target=target, bootstrap=True,
+                             kws_ppv={"pi0": pi0},
+                             kws_bs={"n_bootstrap": n_bootstrap})
+        for k in ("roc_auc", "avg_precision", "avg_ppv_calib", "avg_npv"):
+            val, stderr, ci_l, ci_h = bs[k]
+            out[f"{k}__bs"] = {"value": val, "stderr": stderr,
+                               "ci_low": ci_l, "ci_high": ci_h}
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Paired permutation tests (notebook cells 32-34)
+# ---------------------------------------------------------------------------
+
+def _statistic_roc_auc(x_ref, x_cmp, x_target):
+    return roc_auc_score(x_target, x_ref) - roc_auc_score(x_target, x_cmp)
+
+
+def _statistic_ap(x_ref, x_cmp, x_target):
+    return (average_precision_score(x_target, x_ref) -
+            average_precision_score(x_target, x_cmp))
+
+
+def paired_permutation_test(y_true, proba_ref, proba_cmp, *,
+                            n_resamples: int = 1000,
+                            alternative: str = "two-sided",
+                            seed: int | None = None) -> dict:
+    """Paired sample-permutation test on ΔROC-AUC and ΔAP.
+
+    proba_ref/proba_cmp: positive-class probabilities (N,) or (N, 2) —
+    the two models' predictions on the SAME samples.
+    """
+    y_true = np.asarray(y_true).ravel()
+    p_ref = np.asarray(proba_ref)
+    p_cmp = np.asarray(proba_cmp)
+    if p_ref.ndim == 2:
+        p_ref = p_ref[:, 1]
+    if p_cmp.ndim == 2:
+        p_cmp = p_cmp[:, 1]
+
+    out = {}
+    for name, fn in (("roc_auc", _statistic_roc_auc), ("ap", _statistic_ap)):
+        ret = stats.permutation_test(
+            data=(p_ref, p_cmp),
+            statistic=lambda a, b, fn=fn: fn(a, b, y_true),
+            permutation_type="samples",
+            n_resamples=n_resamples,
+            alternative=alternative,
+            rng=seed)
+        out[f"pvalue__{name}"] = float(ret.pvalue)
+        out[f"statistic__{name}"] = float(ret.statistic)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Modality utilization (explain pickles) + radar data
+# ---------------------------------------------------------------------------
+
+def modality_utilization_summary(raw_explain: dict) -> pd.DataFrame:
+    """Mean ± std per-modality utilization (%) from an explain pickle."""
+    names = raw_explain["modal_names"][0]
+    percent = np.asarray(raw_explain["modal_abl_percent"])
+    return pd.DataFrame({
+        "modality": names,
+        "mean_percent": percent.mean(axis=0),
+        "std_percent": percent.std(axis=0),
+    })
+
+
+def radar_table(metrics_by_model: dict[str, dict],
+                metric_keys=("roc_auc", "avg_precision", "avg_ppv_calib",
+                             "avg_npv", "b_accuracy")) -> pd.DataFrame:
+    """Model × metric table backing the notebook's radar figures."""
+    rows = []
+    for model, mx in metrics_by_model.items():
+        rows.append({"model": model,
+                     **{k: float(mx[k]) for k in metric_keys if k in mx}})
+    return pd.DataFrame(rows).set_index("model")

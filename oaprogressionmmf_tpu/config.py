@@ -39,7 +39,10 @@ class Config(Mapping):
     """Nested attribute/item-access view over a dict tree with interpolation."""
 
     def __init__(self, data: dict | None = None, root: "Config | None" = None):
-        object.__setattr__(self, "_data", dict(data or {}))
+        # hold the dict by REFERENCE: nested views (cfg["a"]["b"] = x) must
+        # mutate the original tree, OmegaConf-style
+        object.__setattr__(self, "_data",
+                           data if isinstance(data, dict) else dict(data or {}))
         object.__setattr__(self, "_root", root)
 
     # -- mapping protocol ---------------------------------------------------

@@ -1,11 +1,26 @@
-from .index import MODALS, VARS_DTYPES, index_from_path_oai
-from .dataset import DatasetOAI3d
-from .provider import prepare_datasets, sources_from_path
-from .pipeline import BatchLoader, WeightedSampler
-from .t2_mapping import fit_t2_map
+"""Data layer — lazy exports.
 
-__all__ = [
-    "index_from_path_oai", "MODALS", "VARS_DTYPES", "DatasetOAI3d",
-    "sources_from_path", "prepare_datasets", "BatchLoader",
-    "WeightedSampler", "fit_t2_map",
-]
+Lazy because host-side CLI apps (targets/prep) import submodules that do
+not need jax; eagerly importing the dataset/pipeline would pull in jax and
+pay the TPU-tunnel initialization cost for pure-pandas work.
+"""
+
+_EXPORTS = {
+    "index_from_path_oai": "index", "MODALS": "index", "VARS_DTYPES": "index",
+    "DatasetOAI3d": "dataset",
+    "sources_from_path": "provider", "prepare_datasets": "provider",
+    "BatchLoader": "pipeline", "WeightedSampler": "pipeline",
+    "SequentialSampler": "pipeline",
+    "fit_t2_map": "t2_mapping",
+    "derive_progression_labels": "targets", "crit_prog_kl_from_to": "targets",
+}
+
+__all__ = list(_EXPORTS)
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+        mod = importlib.import_module(f".{_EXPORTS[name]}", __name__)
+        return getattr(mod, name)
+    raise AttributeError(name)

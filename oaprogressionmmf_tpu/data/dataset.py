@@ -84,7 +84,7 @@ class DatasetOAI3d:
         crop_sizes: per-modality output sizes (config.model.input_size);
             None disables cropping (full images returned).
         train: random crop + per-(epoch, idx) RNG if True, center crop else.
-        seed: base seed for the counter-based crop RNG.
+        seed: base seed for the seed-sequence crop RNG.
     """
 
     def __init__(self, df_meta, modals: Sequence[str], crop_sizes=None,
@@ -105,8 +105,7 @@ class DatasetOAI3d:
         size = list(size)
         if not self.train:
             return center_crop_np(image, size)
-        rng = np.random.Generator(
-            np.random.Philox(key=[self.seed, epoch, idx, branch]))
+        rng = np.random.default_rng([self.seed, epoch, idx, branch])
         ratios = rng.random(len(size))
         return random_crop_np(image, size, ratios)
 

@@ -39,7 +39,7 @@ class WeightedSampler:
         self.seed = seed
 
     def epoch_indices(self, epoch: int) -> np.ndarray:
-        rng = np.random.Generator(np.random.Philox(key=[self.seed, epoch]))
+        rng = np.random.default_rng([self.seed, epoch])
         return rng.choice(self.num_samples, size=self.num_samples,
                           replace=True, p=self.probs)
 

@@ -176,6 +176,12 @@ def flash_attention(q, k, v, scale=None, block_q=128, block_k=128,
     """
     if scale is None:
         scale = q.shape[-1] ** -0.5
+    import os
+    if os.environ.get("OAPROG_FORCE_XLA_ATTENTION"):
+        # escape hatch for hosts where Pallas interpret mode is too slow
+        # (e.g. single-core multi-virtual-device dry runs): same math, plain
+        # XLA, no score materialization concerns at dry-run sizes
+        return attention_reference(q, k, v, scale)[0]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return _flash_attention(q, k, v, float(scale), int(block_q), int(block_k),

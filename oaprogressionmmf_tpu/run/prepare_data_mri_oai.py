@@ -244,10 +244,29 @@ def preproc_compress_series(image_in, meta, path_stack):
     return out, meta
 
 
+def _guess_sequence(path_stack: str) -> str | None:
+    for seq in ("SAG_3D_DESS", "COR_IW_TSE", "SAG_T2_MAP"):
+        if seq in path_stack:
+            return seq
+    # not in the path — sniff the first slice's SeriesDescription
+    for fn in sorted(Path(path_stack).glob("*")):
+        try:
+            series = str(dcmread(fn, stop_before_pixels=True)
+                         .SeriesDescription).upper()
+        except Exception:  # noqa: BLE001
+            continue
+        for seq in ("SAG_3D_DESS", "COR_IW_TSE", "SAG_T2_MAP"):
+            if seq in series:
+                return seq
+        return None
+    return None
+
+
 def handle_series(config: dict, path_stack: str):
-    if "SAG_3D_DESS" in path_stack or "COR_IW_TSE" in path_stack:
+    seq = _guess_sequence(path_stack)
+    if seq in ("SAG_3D_DESS", "COR_IW_TSE"):
         ret = dicom_series_to_numpy_meta(path_stack)
-    elif "SAG_T2_MAP" in path_stack:
+    elif seq == "SAG_T2_MAP":
         ret = dicom_series_to_t2_map_meta(path_stack)
     else:
         raise ValueError("Error guessing sequence")

@@ -1,0 +1,93 @@
+"""CLI: derive progression targets + clinical meta —
+`python -m oaprogressionmmf_tpu.run.prepare_targets_oai`.
+
+Runnable form of the reference's targets notebook
+(run/Targets_meta_and_scans_from_OAI.ipynb): takes the OAI longitudinal
+KL-grade table and baseline clinical table (CSV exports of the OAI
+releases), derives `prog_kl_*` / `panfilov_sel_kl_*` / `reason_kl_*`
+labels per knee (data/targets.py), optionally joins the Tiulpin-2019
+prior-art cohort labels, and writes `meta_base.csv` into
+`OAI_Clin_prep/` — the file the index builder consumes.
+
+Inputs:
+  path_kl_long=...     CSV with columns patient, side, visit (months), XRKL
+  path_clin_base=...   CSV with baseline clinical vars per (patient, side):
+                       P02SEX, P02RACE, V00SITE, AGE, P01BMI, XRKL,
+                       WOM*/P01INJ-/P01KSURG-/... (see data/index.py)
+  dir_root_output=...  → <dir>/meta_base.csv
+  [path_tiulpin=...]   optional prior-art labels CSV (ID, Side, Progressor)
+"""
+
+from __future__ import annotations
+
+import logging
+import sys
+from pathlib import Path
+
+import pandas as pd
+import yaml
+
+from ..data.targets import derive_progression_labels
+
+logger = logging.getLogger("prepare_targets")
+
+
+def build_meta_base(path_kl_long, path_clin_base, path_tiulpin=None
+                    ) -> pd.DataFrame:
+    df_kl = pd.read_csv(path_kl_long, dtype={"patient": str, "side": str})
+    df_clin = pd.read_csv(path_clin_base, dtype={"patient": str, "side": str})
+
+    df_labels = derive_progression_labels(df_kl)
+    df_labels["patient"] = df_labels["patient"].astype(str)
+
+    out = df_clin.merge(
+        df_labels.drop(columns=["visit"]), on=["patient", "side"],
+        how="inner", validate="1:1")
+
+    if path_tiulpin is not None:
+        df_t = pd.read_csv(path_tiulpin)
+        df_t["patient"] = df_t["ID"].astype(str)
+        df_t["side"] = df_t["Side"].map({"R": "RIGHT", "L": "LEFT"})
+        df_t = df_t.rename(columns={"Progressor": "tiulpin2019_prog",
+                                    "Prog_increase": "tiulpin2019_kl_diff"})
+        df_t["tiulpin2019_sel"] = 1
+        out = out.merge(
+            df_t[["patient", "side", "tiulpin2019_prog",
+                  "tiulpin2019_kl_diff", "tiulpin2019_sel"]],
+            on=["patient", "side"], how="left")
+        out["tiulpin2019_prog"] = out["tiulpin2019_prog"].fillna(-1).astype(int)
+        out["tiulpin2019_kl_diff"] = (
+            out["tiulpin2019_kl_diff"].fillna(0).astype(int))
+        out["tiulpin2019_sel"] = out["tiulpin2019_sel"].fillna(0).astype(int)
+    else:
+        out["tiulpin2019_prog"] = -1
+        out["tiulpin2019_kl_diff"] = 0
+        out["tiulpin2019_sel"] = 0
+
+    if "visit_month" not in out.columns:
+        out["visit_month"] = "000m"
+    return out
+
+
+def main(argv=None) -> None:
+    logging.basicConfig(level=logging.INFO)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    config = {"path_kl_long": None, "path_clin_base": None,
+              "dir_root_output": None, "path_tiulpin": None}
+    for ov in argv:
+        k, v = ov.split("=", 1)
+        config[k] = yaml.safe_load(v)
+    for k in ("path_kl_long", "path_clin_base", "dir_root_output"):
+        if not config[k]:
+            raise SystemExit(f"Missing required override: {k}=...")
+
+    out = build_meta_base(config["path_kl_long"], config["path_clin_base"],
+                          config["path_tiulpin"])
+    out_dir = Path(config["dir_root_output"])
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out.to_csv(out_dir / "meta_base.csv", index=False)
+    logger.info(f"Wrote {len(out)} knees to {out_dir / 'meta_base.csv'}")
+
+
+if __name__ == "__main__":
+    main()

@@ -29,10 +29,6 @@ import numpy as np
 import pandas as pd
 from scipy.special import softmax
 
-from ..models import dict_models
-from ..ops.preproc import make_eval_preproc_fn
-from ..ops.resize import interpolate
-from ..parallel.mesh import create_mesh
 from ..utils.checkpoint import CheckpointHandler, load_ckpt
 from ..utils.metrics import calc_metrics_v2
 from .trainer import ProgressionTrainer, make_preprocess_fn, _modality_xs
@@ -62,6 +58,33 @@ class ProgressionEvaluator:
         if ignore:
             self.fold_idcs = [i for i in self.fold_idcs if i not in ignore]
 
+        if config.testing.get("describe_data", False):
+            self.describe_data()
+
+    def describe_data(self, subsets=("sel",)) -> dict:
+        """Variable-distribution summary per subset
+        (parity with eval_prog_fus.py:89-134)."""
+        out = {}
+        for subset in subsets:
+            df = self.trainer.datasets[f"{subset}_df"]
+            df_subj = df.drop_duplicates(subset=[("-", "patient")])
+            summary = {
+                "n_subjects": len(df_subj),
+                "n_knees": len(df),
+                "AGE": df_subj[("-", "AGE")].describe().to_dict(),
+                "P01BMI": df_subj[("-", "P01BMI")].describe().to_dict(),
+                "P02SEX": df_subj[("-", "P02SEX")].value_counts().to_dict(),
+                "WOMTS-": df[("-", "WOMTS-")].describe().to_dict(),
+                "XRKL": df[("-", "XRKL")].value_counts().to_dict(),
+                "P01INJ-": df[("-", "P01INJ-")].value_counts().to_dict(),
+                "P01KSURG-": df[("-", "P01KSURG-")].value_counts().to_dict(),
+            }
+            if ("-", "target") in df.columns:
+                summary["target"] = df[("-", "target")].value_counts().to_dict()
+            logger.info(f"describe_data[{subset}]: {summary}")
+            out[subset] = summary
+        return out
+
     # ------------------------------------------------------------------
 
     def _restore_fold(self, fold_idx: int):
@@ -84,6 +107,13 @@ class ProgressionEvaluator:
 
         eval_step = self.trainer._eval_step
         loader = self.trainer.loaders["test"]
+
+        trace_ctx = None
+        if profile == "trace":
+            trace_dir = str(self.path_logs / "jax_trace")
+            trace_ctx = jax.profiler.trace(trace_dir)
+            trace_ctx.__enter__()
+            logger.info(f"Writing jax.profiler trace to {trace_dir}")
 
         sum_time = 0.0
         sum_samples = 0
@@ -115,6 +145,8 @@ class ProgressionEvaluator:
             acc["predict"].extend(np.argmax(probs, axis=1).tolist())
             acc["predict_proba"].extend(probs.tolist())
 
+        if trace_ctx is not None:
+            trace_ctx.__exit__(None, None, None)
         if profile == "time":
             logger.info(f"Inference time per sample: {sum_time / sum_samples}")
             acc["time_per_sample"] = sum_time / sum_samples

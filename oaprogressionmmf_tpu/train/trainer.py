@@ -15,7 +15,6 @@ from __future__ import annotations
 import json
 import logging
 import time
-from functools import partial
 from pathlib import Path
 
 import jax
@@ -26,7 +25,7 @@ from ..models import MODEL_ARITY, dict_models
 from ..ops.losses import dict_losses
 from ..ops.preproc import make_augment_fn, make_eval_preproc_fn
 from ..ops.resize import interpolate
-from ..parallel.mesh import batch_sharding, create_mesh, replicate
+from ..parallel.mesh import create_mesh
 from ..utils.checkpoint import CheckpointHandler, load_ckpt
 from ..utils.metrics import calc_metrics_v2
 from .state import TrainState, create_train_state, state_to_serializable
@@ -199,6 +198,21 @@ class ProgressionTrainer:
             self.steps_per_epoch)
         self.tx = tx
         self.lr_schedule = lr_schedule
+
+        # ImageNet initialization of the CNN encoders (fe.*.pretrained)
+        from ..utils.pretrained import apply_pretrained_fes
+        model_cfg = (self.config.model.to_dict()
+                     if hasattr(self.config.model, "to_dict")
+                     else dict(self.config.model))
+        params = jax.device_get(state.params)
+        stats = jax.device_get(state.batch_stats)
+        params, stats, n_grafted = apply_pretrained_fes(model_cfg, params,
+                                                        stats)
+        if n_grafted:
+            logger.info(f"Grafted ImageNet weights into {n_grafted} FEs")
+            state = TrainState(step=state.step, params=params,
+                               batch_stats=stats,
+                               opt_state=self.tx.init(params))
         self.state = state
         self.start_epoch = 0
 

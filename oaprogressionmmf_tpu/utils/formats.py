@@ -14,7 +14,6 @@ from __future__ import annotations
 import gzip
 import struct
 from glob import glob
-from pathlib import Path
 
 import numpy as np
 

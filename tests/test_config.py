@@ -82,3 +82,11 @@ def test_to_yaml_roundtrip(conf_tree):
 def test_interpolation_keeps_type():
     cfg = Config({"a": 5, "b": "${a}"})
     assert cfg.b == 5
+
+
+def test_nested_item_assignment_mutates_tree():
+    cfg = Config({"a": {"b": {"c": 1}}, "d": 2})
+    cfg["a"]["b"]["c"] = 42
+    assert cfg.a.b.c == 42
+    cfg.a["b"]["c"] = 7
+    assert cfg["a"]["b"]["c"] == 7

@@ -76,9 +76,10 @@ def test_feat_matches_torch_semantics():
     model = FeaT(num_patches=P, patch_dim=pd, emb_dim=ed, depth=depth,
                  heads=heads, mlp_dim=24, num_classes=2)
     feats = np.random.RandomState(0).randn(3, P, pd).astype(np.float32)
-    variables = model.init(jax.random.key(0), jnp.asarray(feats))
-    out, states, _ = model.apply(variables, jnp.asarray(feats),
-                                 deterministic=True)
+    with jax.default_matmul_precision("highest"):
+        variables = model.init(jax.random.key(0), jnp.asarray(feats))
+        out, states, _ = model.apply(variables, jnp.asarray(feats),
+                                     deterministic=True)
     want_out, want_states = _torch_feat_forward(
         variables["params"], feats, depth, heads, num_outputs=1)
     np.testing.assert_allclose(np.asarray(out), want_out, atol=2e-4)

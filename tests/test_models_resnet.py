@@ -86,8 +86,10 @@ def test_torch_weight_import_parity(groups, base_width):
     params, stats = convert_torch_resnet_state(tm.state_dict())
     fm = ResNetFE(stage_sizes=(1, 1, 1, 1), block_cls=Bottleneck,
                   groups=groups, base_width=base_width, with_gap=True)
-    out = fm.apply({"params": params, "batch_stats": stats},
-                   jnp.asarray(np.transpose(x, (0, 2, 3, 1))), train=False)
+    with jax.default_matmul_precision("highest"):
+        out = fm.apply({"params": params, "batch_stats": stats},
+                       jnp.asarray(np.transpose(x, (0, 2, 3, 1))),
+                       train=False)
     np.testing.assert_allclose(np.asarray(out), want, atol=2e-4)
 
 

@@ -1,65 +1,77 @@
-"""Mesh sharding + jitted train-step tests on the 8-virtual-device CPU mesh."""
+"""Mesh sharding + multichip dry-run, on an 8-virtual-device CPU mesh.
 
-import numpy as np
+All device-mesh checks run in ONE subprocess with
+--xla_force_host_platform_device_count=8: the environment's remote compile
+service slows dramatically with virtual multi-device topologies, so the
+main pytest process stays single-device (see conftest.py) and this file
+pays the multi-device cost exactly once.
+"""
+
+import os
+import subprocess
+import sys
+
 import pytest
 
+_CHECK_SCRIPT = r"""
+import numpy as np
 import jax
+jax.config.update("jax_platforms", "cpu")  # sitecustomize pins axon
 import jax.numpy as jnp
 
 from oaprogressionmmf_tpu.parallel.mesh import (
     batch_sharding, create_mesh, replicate, shard_batch_pytree)
 
+mesh = create_mesh()
+assert mesh.devices.size == 8, mesh.devices
 
-def test_mesh_has_8_virtual_devices():
-    mesh = create_mesh()
-    assert mesh.devices.size == 8
+# 1. batch pytree placement: dim 0 sharded 8 ways
+batch = {"x": np.zeros((16, 4), np.float32), "y": np.zeros((16,), np.int32)}
+placed = shard_batch_pytree(mesh, batch)
+for v in placed.values():
+    shards = v.addressable_shards
+    assert len(shards) == 8, len(shards)
+    assert shards[0].data.shape[0] == 2, shards[0].data.shape
+
+# 2. data-parallel grad == single-device grad
+w = jnp.ones((4, 1), jnp.float32)
+x = np.random.RandomState(0).rand(16, 4).astype(np.float32)
+y = np.random.RandomState(1).rand(16, 1).astype(np.float32)
+loss_fn = lambda w, x, y: jnp.mean((x @ w - y) ** 2)
+g1 = jax.grad(loss_fn)(w, jnp.asarray(x), jnp.asarray(y))
+g8 = jax.jit(jax.grad(loss_fn))(
+    jax.device_put(w, replicate(mesh)),
+    jax.device_put(x, batch_sharding(mesh)),
+    jax.device_put(y, batch_sharding(mesh)))
+np.testing.assert_allclose(np.asarray(g8), np.asarray(g1), rtol=1e-6)
+
+# 3. full multichip training-step dry run (the driver's contract)
+import __graft_entry__ as ge
+ge.dryrun_multichip(8)
+print("MESH_CHECKS_OK")
+"""
 
 
-def test_shard_batch_pytree_places_batch_axis():
-    mesh = create_mesh()
-    batch = {"x": np.zeros((16, 4), np.float32),
-             "y": np.zeros((16,), np.int32)}
-    placed = shard_batch_pytree(mesh, batch)
-    for v in placed.values():
-        shards = v.addressable_shards
-        assert len(shards) == 8
-        assert shards[0].data.shape[0] == 2  # 16 / 8
-
-
-def test_data_parallel_train_step_matches_single_device():
-    """Gradient all-reduce over the mesh must reproduce single-device math."""
-    mesh = create_mesh()
-
-    w = jnp.ones((4, 1), jnp.float32)
-    x = np.random.RandomState(0).rand(16, 4).astype(np.float32)
-    y = np.random.RandomState(1).rand(16, 1).astype(np.float32)
-
-    def loss_fn(w, x, y):
-        return jnp.mean((x @ w - y) ** 2)
-
-    grad_single = jax.grad(loss_fn)(w, jnp.asarray(x), jnp.asarray(y))
-
-    xs = jax.device_put(x, batch_sharding(mesh))
-    ys = jax.device_put(y, batch_sharding(mesh))
-    ws = jax.device_put(w, replicate(mesh))
-    grad_sharded = jax.jit(jax.grad(loss_fn))(ws, xs, ys)
-    np.testing.assert_allclose(np.asarray(grad_sharded),
-                               np.asarray(grad_single), rtol=1e-6)
+def test_mesh_sharding_and_multichip_dryrun():
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    out = subprocess.run(
+        [sys.executable, "-c", _CHECK_SCRIPT],
+        env=env, cwd="/root/repo", capture_output=True, text=True,
+        timeout=2900)
+    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    assert "MESH_CHECKS_OK" in out.stdout
+    assert "dryrun_multichip(8) ok" in out.stdout
 
 
 def test_graft_entry_single_chip():
-    import sys
     sys.path.insert(0, "/root/repo")
+    import jax
+    import numpy as np
     import __graft_entry__ as ge
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert out.shape == (4, 2)
     np.testing.assert_allclose(np.asarray(out.sum(-1), np.float32), 1.0,
                                atol=1e-2)
-
-
-def test_graft_entry_multichip_dryrun():
-    import sys
-    sys.path.insert(0, "/root/repo")
-    import __graft_entry__ as ge
-    ge.dryrun_multichip(8)

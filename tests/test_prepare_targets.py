@@ -1,0 +1,60 @@
+"""prepare_targets_oai app: meta_base.csv derivation end-to-end."""
+
+import numpy as np
+import pandas as pd
+
+from oaprogressionmmf_tpu.run.prepare_targets_oai import build_meta_base, main
+
+
+def _write_inputs(tmp_path):
+    kl_rows = []
+    for patient, side, traj in [
+        ("9000001", "RIGHT", {0: 1, 12: 2, 24: 2, 36: 2, 48: 2, 72: 2, 96: 2}),
+        ("9000002", "LEFT", {0: 2, 12: 2, 24: 2, 36: 2, 48: 2, 72: 2, 96: 2}),
+        ("9000003", "RIGHT", {0: 4, 12: 4}),
+    ]:
+        for visit, kl in traj.items():
+            kl_rows.append({"patient": patient, "side": side,
+                            "visit": visit, "XRKL": kl})
+    pd.DataFrame(kl_rows).to_csv(tmp_path / "kl_long.csv", index=False)
+
+    clin_rows = [
+        {"patient": p, "side": s, "P02SEX": "MALE", "V00SITE": "A",
+         "AGE": 60, "P01BMI": 27.0, "XRKL": 1, "WOMTS-": 3.0,
+         "P01INJ-": 0, "P01KSURG-": 0}
+        for p, s in [("9000001", "RIGHT"), ("9000002", "LEFT"),
+                     ("9000003", "RIGHT")]
+    ]
+    pd.DataFrame(clin_rows).to_csv(tmp_path / "clin.csv", index=False)
+
+    pd.DataFrame({"ID": [9000001], "Side": ["R"], "Progressor": [1],
+                  "Prog_increase": [1]}).to_csv(
+        tmp_path / "tiulpin.csv", index=False)
+
+
+def test_build_meta_base(tmp_path):
+    _write_inputs(tmp_path)
+    out = build_meta_base(tmp_path / "kl_long.csv", tmp_path / "clin.csv",
+                          tmp_path / "tiulpin.csv")
+    out = out.set_index("patient")
+    assert out.loc["9000001", "prog_kl_12"] == 1
+    assert out.loc["9000001", "panfilov_sel_kl_48"] == 1
+    assert out.loc["9000002", "prog_kl_48"] == 0
+    # KL4 baseline knee rejected for all horizons
+    assert out.loc["9000003", "panfilov_sel_kl_12"] == 0
+    assert out.loc["9000003", "reason_kl_12"] == "1: KLG4_at_baseline"
+    # prior-art join
+    assert out.loc["9000001", "tiulpin2019_prog"] == 1
+    assert out.loc["9000002", "tiulpin2019_sel"] == 0
+
+
+def test_main_writes_meta_base(tmp_path):
+    _write_inputs(tmp_path)
+    out_dir = tmp_path / "OAI_Clin_prep"
+    main([f"path_kl_long={tmp_path / 'kl_long.csv'}",
+          f"path_clin_base={tmp_path / 'clin.csv'}",
+          f"dir_root_output={out_dir}"])
+    df = pd.read_csv(out_dir / "meta_base.csv")
+    assert len(df) == 3
+    assert "visit_month" in df.columns
+    assert set(df["visit_month"]) == {"000m"}
