@@ -19,10 +19,12 @@ import time
 
 import numpy as np
 
+import os
+
 REF_BASELINE_KNEES_PER_SEC = 25.0
-BATCH = 16
-N_WARMUP = 2
-N_ITERS = 10
+BATCH = int(os.environ.get("OAPROG_BENCH_BATCH", 16))
+N_WARMUP = int(os.environ.get("OAPROG_BENCH_WARMUP", 2))
+N_ITERS = int(os.environ.get("OAPROG_BENCH_ITERS", 10))
 
 
 def main():
@@ -70,17 +72,30 @@ def main():
         lambda xs: model.init(jax.random.key(0), *preproc(xs), train=False)
     )(xs)
 
-    @jax.jit
-    def infer(variables, xs):
+    def one_step(variables, xs, eps):
+        # per-iteration input perturbation defeats CSE/hoisting of the
+        # repeated forward inside the scan
+        xs = tuple(x + eps.astype(x.dtype) for x in xs)
         out = model.apply(variables, *preproc(xs), train=False)
         return jax.nn.softmax(out["main"], axis=-1)
 
+    @jax.jit
+    def infer_chain(variables, xs):
+        def body(acc, eps):
+            return acc + one_step(variables, xs, eps), None
+        acc, _ = jax.lax.scan(body, jnp.zeros((BATCH, 2)),
+                              jnp.arange(N_ITERS, dtype=jnp.float32) * 1e-6)
+        return acc
+
+    # NOTE: materialize to host — through the remote-TPU tunnel,
+    # block_until_ready returns at enqueue time, so device_get is the only
+    # reliable completion barrier. N_ITERS steps run inside ONE dispatch
+    # (lax.scan) so the tunnel round-trip is amortized away.
     for _ in range(N_WARMUP):
-        infer(variables, xs).block_until_ready()
+        np.asarray(infer_chain(variables, xs))
 
     t0 = time.perf_counter()
-    for _ in range(N_ITERS):
-        infer(variables, xs).block_until_ready()
+    np.asarray(infer_chain(variables, xs))
     dt = time.perf_counter() - t0
 
     knees_per_sec = BATCH * N_ITERS / dt

@@ -44,14 +44,20 @@ CLIN_STATS = {"AGE": (60.945, 9.209), "P01BMI": (28.734, 4.917),
 
 
 def read_image(path_file: str, sequence: str) -> np.ndarray:
-    """Read one image and prepend the channel axis → (1, R, C[, S])."""
+    """Read one image and prepend the channel axis → (1, R, C[, S]).
+
+    Integer volumes keep their stored dtype (uint8 DESS / uint16 TSE /
+    uint8 PNG) so host→device transfers stay 2-4x smaller than float32;
+    the device-side unit-range step handles the cast."""
     spec = _SEQ_SPEC.get(sequence)
     if spec is None:
         raise ValueError(f"Unsupported sequence: {sequence}")
     if spec["reader"] == "ipr":
-        image, _ = nifti_to_numpy(path_file, ras_to_ipr=True)
+        image, _ = nifti_to_numpy(path_file, ras_to_ipr=True,
+                                  preserve_dtype=True)
     elif spec["reader"] == "irp":
-        image, _ = nifti_to_numpy(path_file, ras_to_irp=True)
+        image, _ = nifti_to_numpy(path_file, ras_to_irp=True,
+                                  preserve_dtype=True)
     else:
         image = png_to_numpy(path_file)
     return image.reshape((1, *image.shape))
@@ -139,7 +145,9 @@ class DatasetOAI3d:
                     if self.crop_sizes is not None else None)
             image = self._crop(np.ascontiguousarray(image), size, epoch, idx,
                                branch)
-            item[f"image__{m}"] = image.astype(np.float32)
+            if not np.issubdtype(image.dtype, np.integer):
+                image = image.astype(np.float32)
+            item[f"image__{m}"] = image
 
         item["target"] = np.asarray([row[("-", "target")]], dtype=np.int32)
         item["exam_knee_id"] = row[("-", "exam_knee_id")]

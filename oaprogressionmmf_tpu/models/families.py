@@ -67,12 +67,13 @@ def _fold_volume_to_slices(x: jnp.ndarray, dims_view: str = "rc"):
         raise ValueError("Unsupported `model.fe.dims_view`")
     n_slices = t.shape[1]
     t = t.reshape((b * n_slices,) + t.shape[2:])
-    return jnp.repeat(t, 3, axis=-1), n_slices
+    # grayscale stays 1-channel: the FE stem folds the RGB kernel
+    return t, n_slices
 
 
-def _image_to_nhwc3(x: jnp.ndarray) -> jnp.ndarray:
-    """(B, 1, R, C) → (B, R, C, 3)."""
-    return jnp.repeat(jnp.transpose(x, (0, 2, 3, 1)), 3, axis=-1)
+def _image_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
+    """(B, 1, R, C) → (B, R, C, 1); the FE stem folds the RGB kernel."""
+    return jnp.transpose(x, (0, 2, 3, 1))
 
 
 def _tokens_from_maps(feats: jnp.ndarray, batch: int) -> jnp.ndarray:
@@ -129,7 +130,7 @@ class XR1Cnn(nn.Module):
         arch = cfg["fe"]["arch"]
         fe = FE_ARCHS[arch](with_gap=True, dtype=self.compute_dtype,
                             name="fe")
-        x = _image_to_nhwc3(input.astype(self.compute_dtype))
+        x = _image_to_nhwc(input.astype(self.compute_dtype))
         feats = fe(x, train=train)                    # (B, C)
 
         agg = cfg["agg"]
@@ -268,7 +269,7 @@ class _XrMrFusionBase(nn.Module):
         xr_cfg = cfg["fe"]["xr"]
         fe = FE_ARCHS[xr_cfg["arch"]](with_gap=bool(xr_cfg["with_gap"]),
                                       dtype=self.compute_dtype, name="fe_xr")
-        feats = fe(_image_to_nhwc3(input0.astype(self.compute_dtype)),
+        feats = fe(_image_to_nhwc(input0.astype(self.compute_dtype)),
                    train=train)
         if float(xr_cfg.get("dropout") or 0.0):
             feats = nn.Dropout(float(xr_cfg["dropout"]))(

@@ -27,6 +27,7 @@ from functools import partial
 from typing import Any, Callable, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -94,8 +95,36 @@ class Bottleneck(nn.Module):
         return nn.relu(y + residual)
 
 
+class _StemConv(nn.Module):
+    """7x7/2 RGB stem that accepts grayscale input directly.
+
+    The kernel keeps the ImageNet-compatible (7, 7, 3, 64) shape; for a
+    1-channel input the three input-channel slices are summed — numerically
+    identical to the reference's gray→3-channel repeat (`_xr1_cnn.py:60`)
+    but without materializing a 3x larger tensor in HBM."""
+
+    features: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.variance_scaling(1.0, "fan_in",
+                                             "truncated_normal"),
+            (7, 7, 3, self.features), jnp.float32)
+        k = kernel.astype(self.dtype)
+        if x.shape[-1] == 1:
+            k = jnp.sum(k, axis=2, keepdims=True)
+        elif x.shape[-1] != 3:
+            raise ValueError(f"Stem expects 1 or 3 channels, got {x.shape}")
+        return jax.lax.conv_general_dilated(
+            x, k, (2, 2), [(3, 3), (3, 3)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class ResNetFE(nn.Module):
-    """ResNet feature extractor: (B, H, W, 3) → pooled (B, C) or maps
+    """ResNet feature extractor: (B, H, W, 1|3) → pooled (B, C) or maps
     (B, h, w, C), matching the reference's with_gap switch
     (koafusion/models/_mrN_cnn_trf.py:22-28)."""
 
@@ -115,8 +144,7 @@ class ResNetFE(nn.Module):
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
-        x = conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
-                 name="conv1")(x)
+        x = _StemConv(features=64, dtype=self.dtype, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

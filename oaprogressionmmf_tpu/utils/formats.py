@@ -43,11 +43,14 @@ def _open_maybe_gz(fname, mode):
     return open(fname, mode)
 
 
-def read_nifti(fname_in):
-    """Read a NIfTI-1 file → (data float64 in RAS/native order, affine 4x4).
+def read_nifti(fname_in, preserve_dtype: bool = False):
+    """Read a NIfTI-1 file → (data in RAS/native order, affine 4x4).
 
-    Matches nibabel's ``get_fdata()`` semantics: data is returned as float64
-    with scl_slope/scl_inter applied, in Fortran (column-major) axis order.
+    Default matches nibabel's ``get_fdata()`` semantics: float64 with
+    scl_slope/scl_inter applied, Fortran (column-major) axis order.
+    ``preserve_dtype=True`` keeps the stored dtype when no intensity
+    scaling is present (uint8/uint16 volumes stay small for host→device
+    transfer).
     """
     with _open_maybe_gz(fname_in, "rb") as f:
         raw = f.read()
@@ -82,11 +85,16 @@ def read_nifti(fname_in):
 
     count = int(np.prod(shape))
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=vox_offset)
-    data = data.reshape(shape, order="F").astype(np.float64)
+    data = data.reshape(shape, order="F")
 
-    if scl_slope not in (0.0, 1.0) or scl_inter != 0.0:
-        slope = scl_slope if scl_slope != 0.0 else 1.0
-        data = data * slope + scl_inter
+    scaled = scl_slope not in (0.0, 1.0) or scl_inter != 0.0
+    if preserve_dtype and not scaled:
+        data = np.ascontiguousarray(data.view(dtype.newbyteorder("=")))
+    else:
+        data = data.astype(np.float64)
+        if scaled:
+            slope = scl_slope if scl_slope != 0.0 else 1.0
+            data = data * slope + scl_inter
 
     affine = np.eye(4)
     if sform_code > 0:
@@ -138,13 +146,14 @@ def write_nifti(data, fname_out, affine=None):
 # Anatomical-convention converters (reference-parity surface)
 # ---------------------------------------------------------------------------
 
-def nifti_to_numpy(fname_in, ras_to_ipr=False, ras_to_irp=False):
+def nifti_to_numpy(fname_in, ras_to_ipr=False, ras_to_irp=False,
+                   preserve_dtype=False):
     """Read NIfTI → (stack, spacings) with the reference's axis conventions.
 
     RAS+→IPR+ (sagittal row-col-plane) and RAS+→IRP+ (coronal) remaps follow
     koafusion/various/_formats.py:107-112 exactly.
     """
-    stack, affine = read_nifti(fname_in)
+    stack, affine = read_nifti(fname_in, preserve_dtype=preserve_dtype)
     spacings = [affine[i, i] for i in range(3)]
 
     if ras_to_ipr:

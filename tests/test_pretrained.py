@@ -1,0 +1,99 @@
+"""Local ImageNet-checkpoint resolution + FE grafting."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from oaprogressionmmf_tpu.models import dict_models
+from oaprogressionmmf_tpu.utils.pretrained import (
+    CHECKPOINT_FILES, apply_pretrained_fes, find_checkpoint,
+    load_imagenet_fe_params)
+
+
+def _fake_torch_resnet18_sd():
+    """State dict with torchvision resnet18 naming/shapes (random values)."""
+    g = torch.Generator().manual_seed(0)
+    sd = {"conv1.weight": torch.randn(64, 3, 7, 7, generator=g),
+          "bn1.weight": torch.ones(64), "bn1.bias": torch.zeros(64),
+          "bn1.running_mean": torch.zeros(64),
+          "bn1.running_var": torch.ones(64),
+          "bn1.num_batches_tracked": torch.tensor(0)}
+    cin = 64
+    for stage, (planes, blocks) in enumerate(
+            [(64, 2), (128, 2), (256, 2), (512, 2)], start=1):
+        for b in range(blocks):
+            pre = f"layer{stage}.{b}"
+            stride_block = stage > 1 and b == 0
+            sd[f"{pre}.conv1.weight"] = torch.randn(planes, cin, 3, 3,
+                                                    generator=g)
+            sd[f"{pre}.conv2.weight"] = torch.randn(planes, planes, 3, 3,
+                                                    generator=g)
+            for i in (1, 2):
+                sd[f"{pre}.bn{i}.weight"] = torch.ones(planes)
+                sd[f"{pre}.bn{i}.bias"] = torch.zeros(planes)
+                sd[f"{pre}.bn{i}.running_mean"] = torch.zeros(planes)
+                sd[f"{pre}.bn{i}.running_var"] = torch.ones(planes)
+            if stride_block:
+                sd[f"{pre}.downsample.0.weight"] = torch.randn(
+                    planes, cin, 1, 1, generator=g)
+                sd[f"{pre}.downsample.1.weight"] = torch.ones(planes)
+                sd[f"{pre}.downsample.1.bias"] = torch.zeros(planes)
+                sd[f"{pre}.downsample.1.running_mean"] = torch.zeros(planes)
+                sd[f"{pre}.downsample.1.running_var"] = torch.ones(planes)
+            cin = planes
+    sd["fc.weight"] = torch.randn(1000, 512, generator=g)
+    sd["fc.bias"] = torch.zeros(1000)
+    return sd
+
+
+def test_find_checkpoint_env_dir(tmp_path, monkeypatch):
+    monkeypatch.setenv("OAPROG_PRETRAINED_DIR", str(tmp_path))
+    assert find_checkpoint("resnet18") is None
+    (tmp_path / CHECKPOINT_FILES["resnet18"]).write_bytes(b"x")
+    assert find_checkpoint("resnet18") is not None
+
+
+def test_load_missing_returns_none(monkeypatch, tmp_path):
+    monkeypatch.setenv("OAPROG_PRETRAINED_DIR", str(tmp_path))
+    assert load_imagenet_fe_params("resnet18") is None
+
+
+def test_graft_into_model_params(tmp_path, monkeypatch):
+    monkeypatch.setenv("OAPROG_PRETRAINED_DIR", str(tmp_path))
+    sd = _fake_torch_resnet18_sd()
+    torch.save(sd, tmp_path / CHECKPOINT_FILES["resnet18"])
+
+    cfg = {
+        "name": "MR1CnnTrf", "input_size": [[64, 64, 2]], "downscale": False,
+        "input_channels": 1, "output_channels": 2, "output_type": "dict",
+        "debug": False, "restore_weights": False,
+        "fe": {"arch": "resnet18", "pretrained": True, "with_gap": True,
+               "dropout": 0.0, "dims_view": "rc"},
+        "agg": {"num_slices": 2, "depth": 1, "heads": 2, "emb_dropout": 0.1,
+                "mlp_dim": 32, "mlp_dropout": 0.1},
+    }
+    model = dict_models["MR1CnnTrf"](config=cfg)
+    variables = model.init(jax.random.key(0),
+                           jnp.ones((1, 1, 64, 64, 2)), train=False)
+    params = jax.device_get(variables["params"])
+    stats = jax.device_get(variables["batch_stats"])
+    params, stats, n = apply_pretrained_fes(cfg, params, stats)
+    assert n == 1
+    # the stem kernel must now equal the torch checkpoint (transposed)
+    want = np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0))
+    np.testing.assert_allclose(params["fe"]["conv1"]["kernel"], want)
+    # grafted tree still works in a forward pass
+    out = model.apply({"params": params, "batch_stats": stats},
+                      jnp.ones((1, 1, 64, 64, 2)), train=False)
+    assert out["main"].shape == (1, 2)
+
+
+def test_graft_skipped_when_not_pretrained(tmp_path, monkeypatch):
+    monkeypatch.setenv("OAPROG_PRETRAINED_DIR", str(tmp_path))
+    cfg = {"name": "XR1Cnn",
+           "fe": {"arch": "resnet18", "pretrained": False}}
+    params, stats, n = apply_pretrained_fes(cfg, {"fe": {}}, {"fe": {}})
+    assert n == 0
