@@ -134,3 +134,50 @@ def radar_table(metrics_by_model: dict[str, dict],
         rows.append({"model": model,
                      **{k: float(mx[k]) for k in metric_keys if k in mx}})
     return pd.DataFrame(rows).set_index("model")
+
+
+# ---------------------------------------------------------------------------
+# Figures (Analysis notebook cells 28-31 equivalents)
+# ---------------------------------------------------------------------------
+
+def plot_radar(df: pd.DataFrame, *, title: str = "", ax=None,
+               colors=None):
+    """Radar chart of a model × metric table (see :func:`radar_table`).
+
+    Returns the matplotlib axes. Equivalent of the notebook's
+    target-average radar figures (cells 28-31)."""
+    import matplotlib.pyplot as plt
+
+    metrics = list(df.columns)
+    n = len(metrics)
+    angles = np.linspace(0, 2 * np.pi, n, endpoint=False).tolist()
+    angles += angles[:1]
+
+    if ax is None:
+        _, ax = plt.subplots(subplot_kw={"projection": "polar"},
+                             figsize=(6, 6))
+    for i, (model, row) in enumerate(df.iterrows()):
+        values = row.tolist() + [row.tolist()[0]]
+        color = None if colors is None else colors[i % len(colors)]
+        ax.plot(angles, values, label=str(model), color=color)
+        ax.fill(angles, values, alpha=0.08, color=color)
+    ax.set_xticks(angles[:-1])
+    ax.set_xticklabels(metrics)
+    ax.set_title(title)
+    ax.legend(loc="upper right", bbox_to_anchor=(1.35, 1.1), fontsize=8)
+    return ax
+
+
+def plot_modality_utilization(df: pd.DataFrame, *, title: str = "", ax=None):
+    """Bar chart of per-modality utilization (% ± std) from
+    :func:`modality_utilization_summary`."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(5, 3.5))
+    ax.bar(df["modality"], df["mean_percent"], yerr=df["std_percent"],
+           capsize=4)
+    ax.set_ylabel("utilization, %")
+    ax.set_ylim(0, 100)
+    ax.set_title(title)
+    return ax

@@ -154,3 +154,43 @@ def make_eval_preproc_fn(modality: str):
         return normalize(to_unit_range(image), [mean], [std])
 
     return preproc
+
+
+def percentile_clip(image: jnp.ndarray, cut_min: float, cut_max: float,
+                    to_unit_range: bool = False) -> jnp.ndarray:
+    """Clip intensities to [cut_min, cut_max] percentiles
+    (PTPercentileClip, koafusion/preproc/_pt.py:7-72; linear-interpolated
+    percentiles like the reference's sorted-lerp implementation)."""
+    image = image.astype(jnp.float32)
+    lo, hi = jnp.percentile(image, jnp.asarray([cut_min, cut_max]))
+    out = jnp.clip(image, lo, hi)
+    if to_unit_range:
+        out = (out - lo) / (hi - lo)
+    return out
+
+
+def denormalize(image: jnp.ndarray, mean, std) -> jnp.ndarray:
+    """Inverse of :func:`normalize` (PTDenormalize)."""
+    mean = jnp.asarray(mean, jnp.float32).reshape((-1,) + (1,) * (image.ndim - 1))
+    std = jnp.asarray(std, jnp.float32).reshape((-1,) + (1,) * (image.ndim - 1))
+    return image.astype(jnp.float32) * std + mean
+
+
+def reproject(image: jnp.ndarray, dims_in, dims_out) -> jnp.ndarray:
+    """Axis permutation (Reproject/PTReproject)."""
+    return jnp.moveaxis(image, dims_in, dims_out)
+
+
+def random_flip(image: jnp.ndarray, key, prob: float = 0.5) -> jnp.ndarray:
+    """Randomly flip a random subset of the non-channel axes (Flip,
+    koafusion/preproc/_np_nd.py:6-37): one gate probability, then an
+    independent coin per spatial axis."""
+    k_p, k_axes = jax.random.split(key)
+    p = jax.random.uniform(k_p, ())
+    n_spatial = image.ndim - 1
+    coins = jax.random.bernoulli(k_axes, 0.5, (n_spatial,))
+    out = image
+    for ax in range(1, image.ndim):
+        do = (p < prob) & coins[ax - 1]
+        out = jnp.where(do, jnp.flip(out, axis=ax), out)
+    return out

@@ -123,14 +123,21 @@ class ProgressionEvaluator:
             n_valid = batch["_n_valid"]
 
             if profile == "compute":
+                # thop-equivalent: MACs via XLA cost analysis + param count
+                # (reference: eval_prog_fus.py:280-285)
                 lowered = jax.jit(
                     lambda p, s, x, y: eval_step(p, s, x, y)).lower(
                     params, batch_stats, xs, ys)
                 cost = lowered.compile().cost_analysis()
-                logger.info(f"XLA cost analysis: flops="
-                            f"{cost.get('flops', float('nan')):.3e} "
-                            f"bytes={cost.get('bytes accessed', 0):.3e}")
-                return {"profile_compute": cost}
+                n_params = sum(int(np.prod(p.shape)) for p in
+                               jax.tree_util.tree_leaves(params))
+                flops = float(cost.get("flops", float("nan")))
+                logger.info(
+                    f"XLA cost analysis: flops={flops:.3e} "
+                    f"(~{flops / 2 / max(1, int(n_valid)):.3e} MACs/sample) "
+                    f"bytes={cost.get('bytes accessed', 0):.3e} "
+                    f"params={n_params:.3e}")
+                return {"profile_compute": dict(cost), "num_params": n_params}
 
             t0 = time.time()
             loss, probs = eval_step(params, batch_stats, xs, ys)

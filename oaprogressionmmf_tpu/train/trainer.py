@@ -28,7 +28,7 @@ from ..ops.resize import interpolate
 from ..parallel.mesh import create_mesh
 from ..utils.checkpoint import CheckpointHandler, load_ckpt
 from ..utils.metrics import calc_metrics_v2
-from .state import TrainState, create_train_state, state_to_serializable
+from .state import TrainState, state_to_serializable
 
 logger = logging.getLogger("train")
 
@@ -64,6 +64,110 @@ class MetricsLogger:
 
 def _modality_xs(batch: dict, modals) -> tuple:
     return tuple(batch[f"image__{m}"] for m in modals)
+
+
+class _Runtime:
+    """Model + loss + optimizer + jitted steps, shared across folds.
+
+    jax.jit caches on function identity — rebuilding closures per fold would
+    recompile the train/eval steps 5x per experiment. One runtime per
+    (model config, training config, modals, steps_per_epoch, dtype) key."""
+
+    def __init__(self, config, modals, downscale, steps_per_epoch,
+                 compute_dtype):
+        from ..ops.schedules import make_lr_schedule
+        from .state import dict_optimizers
+
+        model_cfg = (config.model.to_dict()
+                     if hasattr(config.model, "to_dict")
+                     else dict(config.model))
+        self.model = dict_models[config.model.name](
+            config=model_cfg, compute_dtype=compute_dtype)
+        loss_cfg = config.training.loss
+        self.loss_fn = dict_losses[loss_cfg.name](
+            num_classes=int(config.model.output_channels),
+            **dict(loss_cfg.params))
+
+        optim_cfg = config.training.optim
+        sched_cfg = config.training.sched
+        self.lr_schedule = make_lr_schedule(
+            sched_cfg.name, dict(sched_cfg.params),
+            lr_init=float(optim_cfg.lr_init),
+            steps_per_epoch=steps_per_epoch)
+        kwargs = {}
+        wd = optim_cfg.get("weight_decay", 0.0)
+        if wd:
+            kwargs["weight_decay"] = float(wd)
+        self.tx = dict_optimizers[optim_cfg.name](self.lr_schedule, **kwargs)
+
+        self.preproc_train = make_preprocess_fn(modals, downscale, train=True)
+        self.preproc_eval = make_preprocess_fn(modals, downscale, train=False)
+
+        model, tx, loss_fn = self.model, self.tx, self.loss_fn
+        preproc_train, preproc_eval = self.preproc_train, self.preproc_eval
+
+        def train_step(state: TrainState, xs, ys, key):
+            k_aug, k_drop = jax.random.split(key)
+            xs = preproc_train(xs, k_aug)
+
+            def loss_of(params):
+                variables = {"params": params}
+                mutable = []
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                    mutable = ["batch_stats"]
+                out = model.apply(variables, *xs, train=True,
+                                  rngs={"dropout": k_drop}, mutable=mutable)
+                out, mutated = out if mutable else (out, {})
+                logits = out["main"] if isinstance(out, dict) else out
+                loss = loss_fn(logits, ys)
+                return loss, (mutated.get("batch_stats", state.batch_stats),
+                              logits)
+
+            (loss, (new_stats, logits)), grads = jax.value_and_grad(
+                loss_of, has_aux=True)(state.params)
+            updates, new_opt = tx.update(grads, state.opt_state, state.params)
+            new_params = jax.tree_util.tree_map(
+                lambda p, u: p + u, state.params, updates)
+            new_state = TrainState(step=state.step + 1, params=new_params,
+                                   batch_stats=new_stats, opt_state=new_opt)
+            return new_state, loss, logits
+
+        def eval_step(params, batch_stats, xs, ys):
+            xs = preproc_eval(xs)
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = model.apply(variables, *xs, train=False)
+            logits = out["main"] if isinstance(out, dict) else out
+            loss = loss_fn(logits, ys)
+            probs = jax.nn.softmax(logits, axis=-1)
+            return loss, probs
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0,))
+        self.eval_step = jax.jit(eval_step)
+
+
+_RUNTIME_CACHE: dict = {}
+
+
+def _shared_runtime(config, modals, downscale, steps_per_epoch,
+                    compute_dtype) -> _Runtime:
+    model_cfg = (config.model.to_dict() if hasattr(config.model, "to_dict")
+                 else dict(config.model))
+    training_cfg = (config.training.to_dict()
+                    if hasattr(config.training, "to_dict")
+                    else dict(config.training))
+    key = (json.dumps(model_cfg, sort_keys=True, default=str),
+           json.dumps({k: training_cfg.get(k) for k in
+                       ("loss", "optim", "sched")}, sort_keys=True,
+                      default=str),
+           tuple(modals), json.dumps(downscale), int(steps_per_epoch),
+           str(compute_dtype))
+    if key not in _RUNTIME_CACHE:
+        _RUNTIME_CACHE[key] = _Runtime(config, modals, downscale,
+                                       steps_per_epoch, compute_dtype)
+    return _RUNTIME_CACHE[key]
 
 
 def make_preprocess_fn(modals, downscale, train: bool):
@@ -109,6 +213,11 @@ class ProgressionTrainer:
         self.modals = list(ds_cfg.modals)
         self.datasets = prepare_datasets(config, fold_idx)[ds_cfg.name]
 
+        if config.data.get("debug", False):
+            # intensity/NaN/zero-slice sweep over the selected subset
+            # (reference behavior: _data_provider.py:443-458)
+            self.datasets["sel"].describe()
+
         arity = MODEL_ARITY[config.model.name]
         if arity != len(self.modals):
             raise ValueError(
@@ -152,29 +261,25 @@ class ProgressionTrainer:
         self.tb = MetricsLogger(self.path_logs_fold)
         self.ckpt = CheckpointHandler(self.path_weights_fold)
 
-        # model + loss
-        model_cfg = config.model.to_dict() if hasattr(config.model, "to_dict") \
-            else dict(config.model)
-        self.model = dict_models[config.model.name](
-            config=model_cfg, compute_dtype=compute_dtype)
-        loss_cfg = config.training.loss
-        self.loss_fn = dict_losses[loss_cfg.name](
-            num_classes=int(config.model.output_channels),
-            **dict(loss_cfg.params))
-
         self.downscale = (config.model.get("downscale") or None)
         if self.downscale:
             self.downscale = [list(f) for f in self.downscale]
 
-        self._preproc_train = make_preprocess_fn(self.modals, self.downscale,
-                                                 train=True)
-        self._preproc_eval = make_preprocess_fn(self.modals, self.downscale,
-                                                train=False)
+        # shared (cross-fold) model/optimizer/jitted-step runtime
+        self.steps_per_epoch = max(1, self.loaders["train"].batches_per_epoch())
+        rt = _shared_runtime(config, tuple(self.modals), self.downscale,
+                             self.steps_per_epoch, compute_dtype)
+        self.model = rt.model
+        self.loss_fn = rt.loss_fn
+        self.tx = rt.tx
+        self.lr_schedule = rt.lr_schedule
+        self._preproc_train = rt.preproc_train
+        self._preproc_eval = rt.preproc_eval
+        self._train_step = rt.train_step
+        self._eval_step = rt.eval_step
 
         # init / resume
-        self.steps_per_epoch = max(1, self.loaders["train"].batches_per_epoch())
         self._init_state()
-        self._build_steps()
 
     # ------------------------------------------------------------------
 
@@ -193,11 +298,12 @@ class ProgressionTrainer:
     def _init_state(self):
         xs = self._example_inputs()
         xs = self._preproc_eval(xs)
-        state, tx, lr_schedule = create_train_state(
-            self.model, self.config, jax.random.key(0), xs,
-            self.steps_per_epoch)
-        self.tx = tx
-        self.lr_schedule = lr_schedule
+        variables = self.model.init(jax.random.key(0), *xs, train=False)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        state = TrainState(step=jnp.asarray(0, jnp.int32), params=params,
+                           batch_stats=batch_stats,
+                           opt_state=self.tx.init(params))
 
         # ImageNet initialization of the CNN encoders (fe.*.pretrained)
         from ..utils.pretrained import apply_pretrained_fes
@@ -213,6 +319,36 @@ class ProgressionTrainer:
             state = TrainState(step=state.step, params=params,
                                batch_stats=stats,
                                opt_state=self.tx.init(params))
+        # explicit weight restore (reference constructor contract:
+        # Model(config, path_weights) with restore_weights, _xr1_cnn.py:41-42).
+        # Accepts our .ckpt payloads or reference-named torch .pth files.
+        if model_cfg.get("restore_weights") and model_cfg.get("path_weights"):
+            path_w = str(model_cfg["path_weights"])
+            if path_w.endswith((".pth", ".pt")):
+                import torch
+
+                from ..utils.torch_interop import import_reference_checkpoint
+                sd = torch.load(path_w, map_location="cpu",
+                                weights_only=True)
+                sd = {k: v.numpy() for k, v in sd.items()}
+                restored = import_reference_checkpoint(
+                    self.config.model.name, sd,
+                    depth=int(model_cfg["agg"].get("depth", 4))
+                    if "agg" in model_cfg else 4)
+                state = TrainState(step=state.step,
+                                   params=restored["params"],
+                                   batch_stats=restored["batch_stats"],
+                                   opt_state=self.tx.init(restored["params"]))
+                logger.info(f"Restored reference checkpoint {path_w}")
+            else:
+                payload = load_ckpt(path_w,
+                                    target=state_to_serializable(state))
+                state = TrainState(step=payload["step"],
+                                   params=payload["params"],
+                                   batch_stats=payload["batch_stats"],
+                                   opt_state=payload["opt_state"])
+                logger.info(f"Restored checkpoint {path_w}")
+
         self.state = state
         self.start_epoch = 0
 
@@ -225,51 +361,6 @@ class ProgressionTrainer:
                                     opt_state=payload["opt_state"])
             self.start_epoch = int(self.state.step) // self.steps_per_epoch
             logger.info(f"Resumed from {last} at epoch {self.start_epoch}")
-
-    def _build_steps(self):
-        model, tx, loss_fn = self.model, self.tx, self.loss_fn
-        preproc_train, preproc_eval = self._preproc_train, self._preproc_eval
-
-        def train_step(state: TrainState, xs, ys, key):
-            k_aug, k_drop = jax.random.split(key)
-            xs = preproc_train(xs, k_aug)
-
-            def loss_of(params):
-                variables = {"params": params}
-                mutable = []
-                if state.batch_stats:
-                    variables["batch_stats"] = state.batch_stats
-                    mutable = ["batch_stats"]
-                out = model.apply(variables, *xs, train=True,
-                                  rngs={"dropout": k_drop}, mutable=mutable)
-                out, mutated = out if mutable else (out, {})
-                logits = out["main"] if isinstance(out, dict) else out
-                loss = loss_fn(logits, ys)
-                return loss, (mutated.get("batch_stats", state.batch_stats),
-                              logits)
-
-            (loss, (new_stats, logits)), grads = jax.value_and_grad(
-                loss_of, has_aux=True)(state.params)
-            updates, new_opt = tx.update(grads, state.opt_state, state.params)
-            new_params = jax.tree_util.tree_map(
-                lambda p, u: p + u, state.params, updates)
-            new_state = TrainState(step=state.step + 1, params=new_params,
-                                   batch_stats=new_stats, opt_state=new_opt)
-            return new_state, loss, logits
-
-        def eval_step(params, batch_stats, xs, ys):
-            xs = preproc_eval(xs)
-            variables = {"params": params}
-            if batch_stats:
-                variables["batch_stats"] = batch_stats
-            out = model.apply(variables, *xs, train=False)
-            logits = out["main"] if isinstance(out, dict) else out
-            loss = loss_fn(logits, ys)
-            probs = jax.nn.softmax(logits, axis=-1)
-            return loss, probs
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0,))
-        self._eval_step = jax.jit(eval_step)
 
     # ------------------------------------------------------------------
 

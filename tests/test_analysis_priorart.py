@@ -99,3 +99,28 @@ def test_build_clinical(tmp_path):
     left1 = out[(out.ID == 1) & (out.Side == "L")].iloc[0]
     assert left1["INJ"] == 0 and left1["WOMAC"] == 5.0
     assert left1["SEX"] == 1  # 2 - P02SEX
+
+
+def test_radar_table_and_plot():
+    metrics = {"XR1Cnn": {"roc_auc": 0.7, "avg_precision": 0.4,
+                          "avg_ppv_calib": 0.3, "avg_npv": 0.9,
+                          "b_accuracy": 0.65},
+               "XR1MR2C1CnnTrf": {"roc_auc": 0.78, "avg_precision": 0.5,
+                                  "avg_ppv_calib": 0.38, "avg_npv": 0.93,
+                                  "b_accuracy": 0.7}}
+    df = A.radar_table(metrics)
+    assert list(df.index) == ["XR1Cnn", "XR1MR2C1CnnTrf"]
+    ax = A.plot_radar(df, title="test")
+    assert ax is not None
+    import matplotlib.pyplot as plt
+    plt.close("all")
+
+
+def test_plot_modality_utilization():
+    raw = {"modal_names": [["xr_pa", "clin"]] * 2,
+           "modal_abl_percent": [[80.0, 20.0], [70.0, 30.0]]}
+    df = A.modality_utilization_summary(raw)
+    ax = A.plot_modality_utilization(df, title="util")
+    assert ax is not None
+    import matplotlib.pyplot as plt
+    plt.close("all")

@@ -149,3 +149,42 @@ def test_eval_preproc_is_unit_range_then_normalize():
     x = np.asarray(img)
     expect = ((x - x.min()) / (x.max() - x.min()) - 0.543) / 0.296
     np.testing.assert_allclose(out, expect, atol=1e-5)
+
+
+def test_percentile_clip_matches_numpy():
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.rand(40, 40).astype(np.float32) * 100)
+    from oaprogressionmmf_tpu.ops import percentile_clip
+    out = np.asarray(percentile_clip(x, 5.0, 95.0))
+    lo, hi = np.percentile(np.asarray(x), [5.0, 95.0])
+    np.testing.assert_allclose(out, np.clip(np.asarray(x), lo, hi), atol=1e-4)
+    out_u = np.asarray(percentile_clip(x, 5.0, 95.0, to_unit_range=True))
+    assert 0 <= out_u.min() and out_u.max() <= 1.0 + 1e-6
+
+
+def test_denormalize_inverts_normalize():
+    from oaprogressionmmf_tpu.ops import denormalize
+    rng = np.random.RandomState(8)
+    x = jnp.asarray(rng.rand(1, 6, 6).astype(np.float32))
+    y = normalize(x, [0.45], [0.29])
+    back = np.asarray(denormalize(y, [0.45], [0.29]))
+    np.testing.assert_allclose(back, np.asarray(x), atol=1e-6)
+
+
+def test_reproject_moves_axes():
+    from oaprogressionmmf_tpu.ops import reproject
+    x = jnp.zeros((1, 4, 5, 6))
+    assert reproject(x, [1, 3], [3, 1]).shape == (1, 6, 5, 4)
+
+
+def test_random_flip_deterministic_and_valid():
+    from oaprogressionmmf_tpu.ops import random_flip
+    rng = np.random.RandomState(9)
+    x = jnp.asarray(rng.rand(1, 6, 6).astype(np.float32))
+    a = np.asarray(random_flip(x, jax.random.key(0)))
+    b = np.asarray(random_flip(x, jax.random.key(0)))
+    np.testing.assert_array_equal(a, b)
+    # any output must be reachable by some axis-flip combination
+    cands = [np.asarray(x)[:, ::sr, ::sc]
+             for sr in (1, -1) for sc in (1, -1)]
+    assert any(np.array_equal(a, c) for c in cands)

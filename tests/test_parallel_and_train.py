@@ -56,13 +56,23 @@ def test_mesh_sharding_and_multichip_dryrun():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-    out = subprocess.run(
-        [sys.executable, "-c", _CHECK_SCRIPT],
-        env=env, cwd="/root/repo", capture_output=True, text=True,
-        timeout=2900)
-    assert out.returncode == 0, f"stdout:\n{out.stdout}\nstderr:\n{out.stderr}"
-    assert "MESH_CHECKS_OK" in out.stdout
-    assert "dryrun_multichip(8) ok" in out.stdout
+    # the remote compile service occasionally drops a request — retry once
+    last = None
+    for attempt in range(2):
+        try:
+            out = subprocess.run(
+                [sys.executable, "-c", _CHECK_SCRIPT],
+                env=env, cwd="/root/repo", capture_output=True, text=True,
+                timeout=1500)
+        except subprocess.TimeoutExpired as e:
+            last = f"timeout; stdout so far:\n{e.stdout}\nstderr:\n{e.stderr}"
+            continue
+        if out.returncode == 0:
+            assert "MESH_CHECKS_OK" in out.stdout
+            assert "dryrun_multichip(8) ok" in out.stdout
+            return
+        last = f"rc={out.returncode}\nstdout:\n{out.stdout}\nstderr:\n{out.stderr}"
+    pytest.fail(f"mesh subprocess failed twice; last:\n{last}")
 
 
 def test_graft_entry_single_chip():
