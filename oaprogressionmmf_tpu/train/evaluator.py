@@ -47,7 +47,13 @@ class ProgressionEvaluator:
                                           compute_dtype=compute_dtype)
         self.modals = self.trainer.modals
         self.path_weights = Path(config.path_experiment_root) / "weights"
-        self.path_logs = Path(config.path_experiment_root) / "logs_eval"
+        # logs subdir "incid"/"all" selects the knee cohort label exactly as
+        # the reference does (eval_prog_fus.py:81-85; T2-map experiments use
+        # the incidence cohort)
+        sel_knee = ("incid" if "sag_t2_map" in list(config.data.modals_all)
+                    else "all")
+        self.path_logs = (Path(config.path_experiment_root) / "logs_eval" /
+                          sel_knee)
         self.path_logs.mkdir(parents=True, exist_ok=True)
 
         if config.testing.folds.idx == -1:

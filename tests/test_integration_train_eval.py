@@ -56,8 +56,9 @@ def test_eval_and_ensemble(trained_experiment):
     np.testing.assert_allclose(
         np.asarray(ens["predict_proba"]).sum(axis=1), 1.0, atol=1e-5)
 
-    # pickles on disk with the reference cache names
-    logs = tmp / "results" / "logs_eval"
+    # pickles on disk with the reference cache names (cohort subdir "all"
+    # because sag_t2_map is not among modals_all)
+    logs = tmp / "results" / "logs_eval" / "all"
     for name in ("eval_fus_raw_foldw.pkl", "eval_fus_raw_ens.pkl",
                  "eval_fus_metrics_foldw.pkl", "eval_fus_metrics_ens.pkl"):
         assert (logs / name).exists(), name
