@@ -134,6 +134,10 @@ class ResNetFE(nn.Module):
     base_width: int = 64
     with_gap: bool = True
     dtype: Any = jnp.float32
+    # rematerialize residual blocks on backward: the per-slice CNN batch
+    # (B*S up to ~1024 images) would otherwise keep every block activation
+    # live for the gradient pass and overflow HBM at production batch sizes
+    remat: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -149,10 +153,12 @@ class ResNetFE(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
+        block_cls = (nn.remat(self.block_cls) if self.remat
+                     else self.block_cls)
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             for block_idx in range(num_blocks):
                 stride = 2 if stage_idx > 0 and block_idx == 0 else 1
-                x = self.block_cls(
+                x = block_cls(
                     filters=64 * 2 ** stage_idx,
                     stride=stride,
                     conv=conv,
