@@ -69,6 +69,43 @@ def build_meta_base(path_kl_long, path_clin_base, path_tiulpin=None
     return out
 
 
+def build_scan_extract(dir_root_oai_mri, sequence: str,
+                       visit_month: str = "00m",
+                       patients=None) -> "pd.DataFrame":
+    """Scan an OAI raw DICOM tree for series of one sequence → extract table.
+
+    The notebook's scan-extraction step (Targets_meta_and_scans_from_OAI):
+    produces the `meta_extract__<sequence>.csv` with a `Folder` column
+    (release/patient/date/barcode) that prepare_data_mri_oai consumes.
+    Series are identified by sniffing the first slice's SeriesDescription
+    with the in-repo DICOM reader.
+    """
+    from ..utils.dicom import dcmread
+
+    root = Path(dir_root_oai_mri) / visit_month
+    rows = []
+    # layout: <root>/<visit>/<release>/<patient>/<date>/<barcode>/(slices)
+    for series_dir in sorted(root.glob("*/*/*/*")):
+        if not series_dir.is_dir():
+            continue
+        rel = series_dir.relative_to(root)
+        release, patient = rel.parts[0], rel.parts[1]
+        if patients is not None and patient not in set(map(str, patients)):
+            continue
+        for fn in sorted(series_dir.iterdir()):
+            try:
+                ds = dcmread(fn, stop_before_pixels=True)
+            except Exception:  # noqa: BLE001 - non-DICOM content
+                continue
+            series = str(ds.get("SeriesDescription", "")).upper()
+            if sequence in series:
+                rows.append({"Folder": str(rel), "ParticipantID": patient,
+                             "SeriesDescription": series,
+                             "release": release})
+            break
+    return pd.DataFrame(rows)
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     argv = list(sys.argv[1:] if argv is None else argv)
@@ -87,6 +124,8 @@ def main(argv=None) -> None:
     out_dir.mkdir(parents=True, exist_ok=True)
     out.to_csv(out_dir / "meta_base.csv", index=False)
     logger.info(f"Wrote {len(out)} knees to {out_dir / 'meta_base.csv'}")
+
+
 
 
 if __name__ == "__main__":

@@ -58,3 +58,32 @@ def test_main_writes_meta_base(tmp_path):
     assert len(df) == 3
     assert "visit_month" in df.columns
     assert set(df["visit_month"]) == {"000m"}
+
+
+def test_build_scan_extract(tmp_path):
+    from oaprogressionmmf_tpu.run.prepare_targets_oai import build_scan_extract
+    from oaprogressionmmf_tpu.utils import dicom as D
+
+    def write_series(release, patient, barcode, series):
+        d = tmp_path / "00m" / release / patient / "20050101" / barcode
+        d.mkdir(parents=True)
+        import numpy as np
+        D.dcmwrite(d / "001.dcm", {
+            "PatientID": patient, "SeriesDescription": series,
+            "Rows": 4, "Columns": 4, "BitsAllocated": 16,
+            "PixelRepresentation": 0, "PixelSpacing": [0.36, 0.36],
+            "SliceThickness": 0.7,
+            "PixelData": np.zeros((4, 4), np.uint16).tobytes()})
+
+    write_series("0.C.2", "9000001", "111", "SAG_3D_DESS_RIGHT")
+    write_series("0.C.2", "9000001", "222", "COR_IW_TSE_RIGHT")
+    write_series("0.E.1", "9000002", "333", "SAG_3D_DESS_LEFT")
+
+    df = build_scan_extract(tmp_path, "SAG_3D_DESS")
+    assert len(df) == 2
+    assert set(df["ParticipantID"]) == {"9000001", "9000002"}
+    assert all("SAG_3D_DESS" in s for s in df["SeriesDescription"])
+    assert df["Folder"].iloc[0].count("/") == 3
+
+    df2 = build_scan_extract(tmp_path, "SAG_3D_DESS", patients=["9000002"])
+    assert len(df2) == 1
