@@ -47,10 +47,17 @@ def _resize_axis(x: jnp.ndarray, axis: int, size_out: int) -> jnp.ndarray:
         return x
     mat = jnp.asarray(_interp_matrix(size_in, size_out))
     moved = jnp.moveaxis(x, axis, -1)
-    # full-precision dot: resize parity with torch is semantic (the crop/
-    # downscale chain feeds shape- and value-sensitive normalization)
+    # full-precision dot by default: resize parity with torch is semantic
+    # (the downscale chain feeds value-sensitive normalization). The env
+    # knob trades parity for MXU speed on the TPU path (the interp matrix
+    # has <=2 nonzeros per row, so even bf16 error stays ~1e-3 relative).
+    import os
+    prec = {"highest": jax.lax.Precision.HIGHEST,
+            "high": jax.lax.Precision.HIGH,
+            "default": jax.lax.Precision.DEFAULT}[
+        os.environ.get("OAPROG_RESIZE_PRECISION", "highest").lower()]
     out = jnp.einsum("...i,oi->...o", moved, mat.astype(x.dtype),
-                     precision=jax.lax.Precision.HIGHEST)
+                     precision=prec)
     return jnp.moveaxis(out, -1, axis)
 
 
