@@ -52,6 +52,18 @@ class SequentialSampler:
         return np.arange(self.num_samples)
 
 
+def _put(q, item, stop) -> bool:
+    """Queue put that yields to the consumer's stop flag (no producer
+    thread left blocked when an epoch iterator is abandoned early)."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.5)
+            return True
+        except queue.Full:
+            continue
+    return False
+
+
 class BatchLoader:
     """Iterate device-ready batches for one epoch.
 
@@ -127,8 +139,9 @@ class BatchLoader:
                               if isinstance(v, np.ndarray)}
                     if self.mesh is not None:
                         arrays = shard_batch_pytree(self.mesh, arrays)
-                    out_q.put({**arrays, **strings})
-                out_q.put(None)
+                    if not _put(out_q, {**arrays, **strings}, stop):
+                        return
+                _put(out_q, None, stop)
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()

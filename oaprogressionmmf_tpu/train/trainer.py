@@ -284,9 +284,13 @@ class ProgressionTrainer:
     # ------------------------------------------------------------------
 
     def _example_inputs(self):
-        """Zero batches with the post-crop shapes (pre-device-preproc)."""
+        """Zero batches with the post-crop shapes (pre-device-preproc).
+
+        Batch 2, not the training batch size: parameter shapes are
+        batch-independent and init at full batch would waste a full-size
+        forward compile."""
         sizes = [list(s) for s in self.config.model.input_size]
-        bs = int(self.config.training.batch_size)
+        bs = 2
         xs = []
         for m, size in zip(self.modals, sizes):
             if m == "clin":
