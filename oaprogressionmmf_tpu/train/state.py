@@ -117,14 +117,3 @@ def state_to_serializable(state: TrainState) -> dict:
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
     })
-
-
-def state_from_serializable(payload: dict, template: TrainState) -> TrainState:
-    from flax import serialization
-    restored = serialization.from_state_dict(
-        {"step": template.step, "params": template.params,
-         "batch_stats": template.batch_stats,
-         "opt_state": template.opt_state}, payload)
-    return TrainState(step=restored["step"], params=restored["params"],
-                      batch_stats=restored["batch_stats"],
-                      opt_state=restored["opt_state"])

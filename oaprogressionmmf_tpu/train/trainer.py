@@ -23,7 +23,7 @@ import numpy as np
 
 from ..models import MODEL_ARITY, dict_models
 from ..ops.losses import dict_losses
-from ..ops.preproc import make_augment_fn, make_eval_preproc_fn
+from ..ops.preproc import make_augment_fn
 from ..ops.resize import interpolate
 from ..parallel.mesh import create_mesh
 from ..utils.checkpoint import CheckpointHandler, load_ckpt
@@ -171,9 +171,18 @@ def _shared_runtime(config, modals, downscale, steps_per_epoch,
 
 
 def make_preprocess_fn(modals, downscale, train: bool):
-    """Per-batch device preprocessing for all modalities, jit-fusable."""
+    """Per-batch device preprocessing for all modalities, jit-fusable.
+
+    Eval path exploits that unit-range and normalization are affine while
+    the downscale is linear: the per-sample min/max reductions run on the
+    raw (often uint) volume, the downscale runs on the raw values, and the
+    affine correction is applied to the small tensor — two fewer full
+    passes over the pre-downscale volume, numerically identical up to f32
+    reassociation.
+    """
+    from ..ops.preproc import MODALITY_STATS
+
     aug_fns = [make_augment_fn(m) if train else None for m in modals]
-    eval_fns = [make_eval_preproc_fn(m) for m in modals]
 
     def preprocess(xs: tuple, key=None) -> tuple:
         out = []
@@ -185,10 +194,17 @@ def make_preprocess_fn(modals, downscale, train: bool):
                 keys = jax.random.split(jax.random.fold_in(key, i),
                                         x.shape[0])
                 x = jax.vmap(aug_fns[i])(x, keys)
+                if downscale:
+                    x = interpolate(x, tuple(downscale[i]))
             else:
-                x = jax.vmap(eval_fns[i])(x)
-            if downscale:
-                x = interpolate(x, tuple(downscale[i]))
+                red_axes = tuple(range(1, x.ndim))
+                xf = x.astype(jnp.float32)
+                lo = jnp.min(xf, axis=red_axes, keepdims=True)
+                hi = jnp.max(xf, axis=red_axes, keepdims=True)
+                if downscale:
+                    xf = interpolate(xf, tuple(downscale[i]))
+                mean, std = MODALITY_STATS[m]
+                x = ((xf - lo) / (hi - lo) - mean) / std
             out.append(x)
         return tuple(out)
 

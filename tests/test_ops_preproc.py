@@ -188,3 +188,22 @@ def test_random_flip_deterministic_and_valid():
     cands = [np.asarray(x)[:, ::sr, ::sc]
              for sr in (1, -1) for sc in (1, -1)]
     assert any(np.array_equal(a, c) for c in cands)
+
+
+def test_fused_eval_preproc_matches_reference_order():
+    """make_preprocess_fn(eval) reorders affine ops around the linear
+    downscale; result must match unit-range→normalize→downscale exactly."""
+    from oaprogressionmmf_tpu.ops import make_eval_preproc_fn
+    from oaprogressionmmf_tpu.train.trainer import make_preprocess_fn
+
+    rng = np.random.RandomState(11)
+    x = (rng.rand(2, 1, 32, 32, 6) * 255).astype(np.uint8)
+    downscale = [[0.5, 0.5, 0.5]]
+    fused = make_preprocess_fn(["sag_3d_dess"], downscale, train=False)
+    got = np.asarray(fused((jnp.asarray(x),))[0])
+
+    ref_fn = make_eval_preproc_fn("sag_3d_dess")
+    want = np.asarray(interpolate(
+        jax.vmap(ref_fn)(jnp.asarray(x)), tuple(downscale[0])))
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    assert got.shape == (2, 1, 16, 16, 3)
