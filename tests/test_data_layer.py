@@ -168,3 +168,45 @@ def test_prepare_datasets_end_to_end(synth_root, tmp_path):
     assert len(out["test"]) > 0
     item = out["train"].get(0, epoch=0)
     assert item["image__xr_pa"].shape == (1, 64, 64)
+
+
+def test_sources_tiulpin_target(synth_root):
+    root, _ = synth_root
+    src = sources_from_path(
+        path_data_root=root, modals_all=["clin", "xr_pa"],
+        target="tiulpin2019_prog_bin", fold_num=3,
+        scheme_train_val="strat_target", seed_trainval_test=0,
+        site_test="D", seed_train_val=0)["oai"]
+    t = src["sel_df"][("-", "target")]
+    assert set(t.unique()) <= {0, 1}
+    assert (src["sel_df"][("-", "tiulpin2019_sel")] == 1).all()
+
+
+def test_sources_unknown_target_raises(synth_root):
+    root, _ = synth_root
+    with pytest.raises(ValueError):
+        sources_from_path(
+            path_data_root=root, modals_all=["clin", "xr_pa"],
+            target="bogus", fold_num=3, scheme_train_val="strat_target",
+            seed_trainval_test=0, site_test="D", seed_train_val=0)
+
+
+def test_prepare_datasets_frac_classw_and_exclusions(synth_root, tmp_path):
+    root, _ = synth_root
+    config = make_synth_config(tmp_path, model_name="XR1Cnn",
+                               modals=("xr_pa",))
+    config["path_data_root"] = str(root)
+    n_full = len(prepare_datasets(config, fold_idx=0)["oai"]["train"])
+
+    config["data"]["sets"]["n0"]["frac_classw"] = 0.5
+    out = prepare_datasets(config, fold_idx=0)["oai"]
+    assert 0 < len(out["train"]) <= max(1, n_full // 2 + 2)
+
+    config["data"]["sets"]["n0"]["frac_classw"] = 1.0
+    config["data"]["exclude_inj"] = True
+    config["data"]["exclude_surg"] = True
+    out2 = prepare_datasets(config, fold_idx=0)["oai"]
+    assert (out2["train_df"][("-", "P01INJ-")] != 1).all()
+    assert (out2["train_df"][("-", "P01KSURG-")] != 1).all()
+    # test subset untouched by trainval exclusions
+    assert len(out2["test_df"]) == len(out["test_df"])
