@@ -393,8 +393,18 @@ class ProgressionTrainer:
             key = jax.random.fold_in(
                 jax.random.key(self.config.seed_train_val + 1000),
                 epoch_idx * steps + step_idx)
-            self.state, loss, _ = self._train_step(self.state, xs, ys, key)
+            self.state, loss, logits = self._train_step(self.state, xs, ys,
+                                                         key)
             loss = float(loss)
+            if not np.isfinite(loss):
+                # NaN guard (SURVEY §5.2): fail loudly instead of training on
+                logger.error(f"Non-finite loss at epoch {epoch_idx} "
+                             f"step {step_idx}; stopping epoch")
+                losses.append(loss)
+                break
+            if self.config.training.get("debug", False):
+                logger.info(f"Pred: {np.argmax(np.asarray(logits), axis=1)}")
+                logger.info(f"True: {np.asarray(ys)}")
             losses.append(loss)
             self.tb.scalar(f"fold_{self.fold_idx}/loss_prog_batch/train",
                            loss, epoch_idx * steps + step_idx)
