@@ -28,6 +28,12 @@ def create_mesh(n_devices: int | None = None, axis_name: str = "data",
     if devices is None:
         devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(
+                f"create_mesh: {n_devices} devices requested but only "
+                f"{len(devices)} visible. On CPU hosts set "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count="
+                f"{n_devices} BEFORE the backend initializes.")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), axis_names=(axis_name,))
 
