@@ -29,9 +29,9 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .feat import FeaT
-from .resnet import FE_ARCHS, FE_OUT_CHANNELS
+from .resnet import FE_ARCHS, FE_OUT_CHANNELS, FE_STRIDE32
 
-# FE output spatial size for stride-32 ResNet encoders, keyed by input size
+# FE output spatial size for stride-32 encoders, keyed by input size
 # (the reference's static shape oracle, _mrN_cnn_trf.py:55 + _xr1mrN.py:64-65)
 FE_SPATIAL = {320: 10, 160: 5, 128: 4, 96: 3, 64: 2, 32: 1, 350: 11, 25: 1}
 
@@ -42,7 +42,15 @@ def _downscaled(size: Sequence[int], factor) -> list[int]:
     return [round(s * d) for s, d in zip(size, factor)]
 
 
-def _fe_spatial(shape_in: Sequence[int]) -> tuple[int, ...]:
+def _fe_spatial(shape_in: Sequence[int], arch: str = "resnet50"
+                ) -> tuple[int, ...]:
+    """Static FE-map spatial oracle. Raises loudly — never guesses — for
+    unmapped input sizes or non-stride-32 encoders (the reference raises
+    equivalently, _mrN_cnn_trf.py:97-102,196-200)."""
+    if arch not in FE_STRIDE32:
+        raise ValueError(
+            f"`model.fe.arch`={arch!r} requires `model.fe.with_gap=true` "
+            f"(non-stride-32 feature maps)")
     try:
         return tuple(FE_SPATIAL[int(e)] for e in shape_in)
     except KeyError:
@@ -74,6 +82,20 @@ def _fold_volume_to_slices(x: jnp.ndarray, dims_view: str = "rc"):
 def _image_to_nhwc(x: jnp.ndarray) -> jnp.ndarray:
     """(B, 1, R, C) → (B, R, C, 1); the FE stem folds the RGB kernel."""
     return jnp.transpose(x, (0, 2, 3, 1))
+
+
+def _axis_token_count(shape_in: Sequence[int], spat: Sequence[int],
+                      dims_view: str) -> int:
+    """Token-sequence length for a volume sliced along `dims_view`:
+    slice-axis length × FE-map area of the viewed plane
+    (cf. _mrN_cnn_trf.py:60-71)."""
+    if dims_view == "rc":
+        return shape_in[2] * spat[0] * spat[1]
+    if dims_view == "cs":
+        return shape_in[0] * spat[1] * spat[2]
+    if dims_view == "rs":
+        return shape_in[1] * spat[0] * spat[2]
+    raise ValueError("Unsupported `model.fe.dims_view`")
 
 
 def _tokens_from_maps(feats: jnp.ndarray, batch: int) -> jnp.ndarray:
@@ -164,10 +186,8 @@ class MR1CnnTrf(nn.Module):
         if with_gap:
             spat = (1, 1, 1)
         else:
-            spat = _fe_spatial(shape_in)
-        axis_tokens = {"rc": shape_in[2] * spat[0] * spat[1],
-                       "cs": shape_in[0] * spat[1] * spat[2],
-                       "rs": shape_in[1] * spat[0] * spat[2]}[dims_view]
+            spat = _fe_spatial(shape_in, fe_cfg["arch"])
+        axis_tokens = _axis_token_count(shape_in, spat, dims_view)
 
         fe = FE_ARCHS[fe_cfg["arch"]](with_gap=with_gap,
                                       dtype=self.compute_dtype, name="fe")
@@ -203,10 +223,28 @@ class MR2CnnTrf(nn.Module):
         cfg = self.config
         fe_cfg = cfg["fe"]
         with_gap = bool(fe_cfg["with_gap"])
+        dims_view = fe_cfg.get("dims_view", "rc") or "rc"
         fe_ch = FE_OUT_CHANNELS[fe_cfg["arch"]]
         num_slices = cfg["agg"]["num_slices"]
-        spat = (1, 1) if with_gap else (5, 5)
-        n_tokens = (int(num_slices[0]) + int(num_slices[1])) * math.prod(spat)
+        # token count: the reference counts 'rc' tokens from agg.num_slices
+        # with a hard shape check (_mrN_cnn_trf.py:181-200); cs/rs (an
+        # extension — the reference offers dims_view only on MR1) derive
+        # the count from the static shape oracle per branch
+        n_tokens = 0
+        for i in range(2):
+            shape_in = _downscaled(cfg["input_size"][i],
+                                   _cfg(cfg, "downscale") and
+                                   cfg["downscale"][i])
+            if with_gap:
+                n_tokens += (int(num_slices[i]) if dims_view == "rc"
+                             else _axis_token_count(shape_in, (1, 1, 1),
+                                                    dims_view))
+            elif dims_view == "rc":
+                spat = _fe_spatial(shape_in[:2], fe_cfg["arch"])
+                n_tokens += int(num_slices[i]) * spat[0] * spat[1]
+            else:
+                spat = _fe_spatial(shape_in, fe_cfg["arch"])
+                n_tokens += _axis_token_count(shape_in, spat, dims_view)
 
         b = input0.shape[0]
         tokens = []
@@ -214,7 +252,8 @@ class MR2CnnTrf(nn.Module):
             fe = FE_ARCHS[fe_cfg["arch"]](with_gap=with_gap,
                                           dtype=self.compute_dtype,
                                           name=f"fe{idx}")
-            slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype))
+            slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype),
+                                               dims_view)
             feats = fe(slices, train=train)
             if float(fe_cfg.get("dropout") or 0.0):
                 feats = nn.Dropout(float(fe_cfg["dropout"]))(
@@ -279,9 +318,11 @@ class _XrMrFusionBase(nn.Module):
     def _mr_tokens(self, x, name, train):
         cfg = self.config
         mr_cfg = cfg["fe"]["mr"]
+        dims_view = mr_cfg.get("dims_view", "rc") or "rc"
         fe = FE_ARCHS[mr_cfg["arch"]](with_gap=bool(mr_cfg["with_gap"]),
                                       dtype=self.compute_dtype, name=name)
-        slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype))
+        slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype),
+                                           dims_view)
         feats = fe(slices, train=train)
         if float(mr_cfg.get("dropout") or 0.0):
             feats = nn.Dropout(float(mr_cfg["dropout"]))(
@@ -290,14 +331,25 @@ class _XrMrFusionBase(nn.Module):
 
     def _token_counts(self, shapes, n_mr):
         cfg = self.config
-        xr_gap = bool(cfg["fe"]["xr"]["with_gap"])
-        mr_gap = bool(cfg["fe"]["mr"]["with_gap"])
-        n_xr = 1 if xr_gap else math.prod(_fe_spatial(shapes[0]))
+        xr_cfg = cfg["fe"]["xr"]
+        mr_cfg = cfg["fe"]["mr"]
+        mr_gap = bool(mr_cfg["with_gap"])
+        dims_view = mr_cfg.get("dims_view", "rc") or "rc"
+        n_xr = (1 if bool(xr_cfg["with_gap"])
+                else math.prod(_fe_spatial(shapes[0], xr_cfg["arch"])))
         ns = cfg["agg"]["num_slices"]
         counts = [n_xr]
         for i in range(1, 1 + n_mr):
-            spat = (1, 1) if mr_gap else _fe_spatial(shapes[i][:2])
-            counts.append(int(ns[i]) * math.prod(spat))
+            if mr_gap:
+                counts.append(int(ns[i]) if dims_view == "rc" else
+                              _axis_token_count(shapes[i], (1, 1, 1),
+                                                dims_view))
+            elif dims_view == "rc":
+                spat = _fe_spatial(shapes[i][:2], mr_cfg["arch"])
+                counts.append(int(ns[i]) * spat[0] * spat[1])
+            else:
+                spat = _fe_spatial(shapes[i], mr_cfg["arch"])
+                counts.append(_axis_token_count(shapes[i], spat, dims_view))
         return counts
 
 

@@ -202,6 +202,22 @@ FE_OUT_CHANNELS = {
     "resnext50_32x4d": 2048,
 }
 
+# the non-ResNet torchvision families the reference also registers
+# (koafusion/models/_core_fes.py:6-15) live in models/encoders.py
+from .encoders import (  # noqa: E402
+    EXTRA_FE_ARCHS, EXTRA_FE_OUT_CHANNELS)
+
+FE_ARCHS.update(EXTRA_FE_ARCHS)
+FE_OUT_CHANNELS.update(EXTRA_FE_OUT_CHANNELS)
+
+# archs whose feature maps are exactly stride-32 over the input — the only
+# ones the static spatial-shape oracle (families.FE_SPATIAL) applies to;
+# squeezenet1_0/inception_v3 use valid convs / ceil pools and must run
+# with_gap=True (the reference raises on them in all trf consumers,
+# _mrN_cnn_trf.py:97-102)
+FE_STRIDE32 = {"resnet18", "resnet34", "resnet50", "resnext50_32x4d",
+               "vgg16", "densenet161"}
+
 
 # ---------------------------------------------------------------------------
 # torchvision-format weight import

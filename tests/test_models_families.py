@@ -87,6 +87,32 @@ def test_mr2_cnn_trf_shapes():
     assert "fe0" in variables["params"] and "fe1" in variables["params"]
 
 
+@pytest.mark.parametrize("dims_view", ["cs", "rs"])
+def test_mr2_dims_view(dims_view):
+    """dims_view threading on the 2-MRI path (extension of the reference's
+    MR1-only dims_view, _mrN_cnn_trf.py:60-71)."""
+    fe = dict(FE1, dims_view=dims_view, with_gap=False)
+    cfg = _cfg("MR2CnnTrf", input_size=[[64, 64, 32], [64, 64, 32]], fe=fe)
+    cfg["agg"]["num_slices"] = [32, 32]
+    model = dict_models["MR2CnnTrf"](config=cfg)
+    x0 = jnp.ones((1, 1, 64, 64, 32))
+    x1 = jnp.ones((1, 1, 64, 64, 32))
+    _, out = _init_and_run(model, (x0, x1))
+    assert out["main"].shape == (1, 2)
+
+
+def test_mr2_unmapped_size_raises():
+    """MR2 must fail loudly on unsupported FE-map shapes like the
+    reference (_mrN_cnn_trf.py:196-200), never silently assume (5, 5)."""
+    fe = dict(FE1, with_gap=False)
+    cfg = _cfg("MR2CnnTrf", input_size=[[48, 48, 2], [48, 48, 2]], fe=fe)
+    cfg["agg"]["num_slices"] = [2, 2]
+    model = dict_models["MR2CnnTrf"](config=cfg)
+    with pytest.raises(ValueError, match="input_size"):
+        model.init(jax.random.key(0), jnp.ones((1, 1, 48, 48, 2)),
+                   jnp.ones((1, 1, 48, 48, 2)), train=False)
+
+
 FE_FUSION = {
     "xr": {"arch": "resnet18", "pretrained": False, "with_gap": True,
            "dropout": 0.0},
