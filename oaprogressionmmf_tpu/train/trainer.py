@@ -61,6 +61,12 @@ class MetricsLogger:
         if self._tb is not None:
             self._tb.flush()
 
+    def close(self):
+        if not self._fh.closed:
+            self._fh.close()
+        if self._tb is not None:
+            self._tb.close()
+
 
 def _modality_xs(batch: dict, modals) -> tuple:
     return tuple(batch[f"image__{m}"] for m in modals)
@@ -90,15 +96,34 @@ class _Runtime:
 
         optim_cfg = config.training.optim
         sched_cfg = config.training.sched
-        self.lr_schedule = make_lr_schedule(
-            sched_cfg.name, dict(sched_cfg.params),
-            lr_init=float(optim_cfg.lr_init),
-            steps_per_epoch=steps_per_epoch)
         kwargs = {}
         wd = optim_cfg.get("weight_decay", 0.0)
         if wd:
             kwargs["weight_decay"] = float(wd)
-        self.tx = dict_optimizers[optim_cfg.name](self.lr_schedule, **kwargs)
+        if sched_cfg.name == "ReduceLROnPlateau":
+            # metric-driven schedule: the LR lives in the optimizer's
+            # injected hyperparams; the trainer's per-fold
+            # ops.schedules.ReduceLROnPlateau controller overrides it after
+            # each validation epoch (torch semantics, host-side)
+            import optax
+            opt_name = optim_cfg.name
+
+            def _tx_factory(learning_rate):
+                return dict_optimizers[opt_name](
+                    lambda _step: learning_rate, **kwargs)
+
+            self.tx = optax.inject_hyperparams(_tx_factory)(
+                learning_rate=float(optim_cfg.lr_init))
+            self.lr_schedule = None
+            self.plateau_cfg = dict(sched_cfg.params)
+        else:
+            self.lr_schedule = make_lr_schedule(
+                sched_cfg.name, dict(sched_cfg.params),
+                lr_init=float(optim_cfg.lr_init),
+                steps_per_epoch=steps_per_epoch)
+            self.tx = dict_optimizers[optim_cfg.name](self.lr_schedule,
+                                                      **kwargs)
+            self.plateau_cfg = None
 
         self.preproc_train = make_preprocess_fn(modals, downscale, train=True)
         self.preproc_eval = make_preprocess_fn(modals, downscale, train=False)
@@ -294,6 +319,17 @@ class ProgressionTrainer:
         self._train_step = rt.train_step
         self._eval_step = rt.eval_step
 
+        # per-fold metric-driven LR controller (runtime is shared/stateless)
+        self._plateau = None
+        if rt.plateau_cfg is not None:
+            from ..ops.schedules import ReduceLROnPlateau
+            params = dict(rt.plateau_cfg)
+            params.setdefault(
+                "mode",
+                "min" if config.validation.criterion == "loss" else "max")
+            self._plateau = ReduceLROnPlateau(
+                lr_init=float(config.training.optim.lr_init), **params)
+
         # init / resume
         self._init_state()
 
@@ -452,7 +488,8 @@ class ProgressionTrainer:
                          **{f"val/{k}": v for k, v in metrics_val.items()}}.items():
                 if isinstance(v, (int, float, np.floating)) and np.isfinite(v):
                     self.tb.scalar(f"fold_{self.fold_idx}/{k}", v, epoch_idx)
-            lr_now = float(self.lr_schedule(int(self.state.step)))
+            lr_now = (self._plateau.current_lr if self._plateau is not None
+                      else float(self.lr_schedule(int(self.state.step))))
             self.tb.scalar(f"fold_{self.fold_idx}/learning_rate", lr_now,
                            epoch_idx)
             self.tb.flush()
@@ -468,6 +505,13 @@ class ProgressionTrainer:
                 else metrics_val[crit_name]
             if np.isnan(crit_curr):
                 continue
+            if self._plateau is not None:
+                new_lr = self._plateau.step(crit_curr)
+                self.state = self.state.replace(
+                    opt_state=self.state.opt_state._replace(
+                        hyperparams={**self.state.opt_state.hyperparams,
+                                     "learning_rate":
+                                     jnp.asarray(new_lr, jnp.float32)}))
             if crit_rule(crit_curr, crit_best):
                 crit_best = crit_curr
                 best = {"epoch": epoch_idx, "val": metrics_val}
@@ -478,5 +522,6 @@ class ProgressionTrainer:
 
         logger.info(f"Finished fold {self.fold_idx}: best {crit_name}="
                     f"{crit_best} at epoch {best['epoch']}")
+        self.tb.close()
         return {"criterion": crit_name, "best": crit_best,
                 "epoch": best["epoch"], "val_metrics": best["val"]}

@@ -108,3 +108,125 @@ def test_make_lr_schedule_step_quantization():
     np.testing.assert_allclose(float(sched(0)), 1e-5, rtol=1e-6)   # epoch 0
     np.testing.assert_allclose(float(sched(9)), 1e-5, rtol=1e-6)
     np.testing.assert_allclose(float(sched(10)), 1e-4 * 0.28, rtol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# torch-parity for the registry tail (various/_optimizers.py:55-67)
+# ---------------------------------------------------------------------------
+
+def _torch_lr_trace(sched_cls, lr_init, epochs, **kw):
+    """LR at epochs 0..epochs-1 under a real torch scheduler."""
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=lr_init)
+    sched = sched_cls(opt, **kw)
+    out = []
+    for _ in range(epochs):
+        out.append(opt.param_groups[0]["lr"])
+        opt.step()
+        sched.step()
+    return np.asarray(out)
+
+
+def test_lambda_lr_matches_torch():
+    want = _torch_lr_trace(torch.optim.lr_scheduler.LambdaLR, 0.1, 20,
+                           lr_lambda=lambda e: 0.95 ** e)
+    fn = dict_schedulers["LambdaLR"](lr_lambda=lambda e: 0.95 ** e)
+    got = np.asarray([0.1 * float(fn(e)) for e in range(20)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_multiplicative_lr_matches_torch():
+    want = _torch_lr_trace(torch.optim.lr_scheduler.MultiplicativeLR,
+                           0.1, 15, lr_lambda=lambda e: 0.9)
+    fn = dict_schedulers["MultiplicativeLR"](lr_lambda=lambda e: 0.9)
+    got = np.asarray([0.1 * float(fn(jnp.asarray(e))) for e in range(15)])
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+@pytest.mark.parametrize("t_mult", [1, 2])
+def test_cosine_warm_restarts_matches_torch(t_mult):
+    want = _torch_lr_trace(
+        torch.optim.lr_scheduler.CosineAnnealingWarmRestarts, 0.1, 30,
+        T_0=5, T_mult=t_mult, eta_min=0.001)
+    fn = dict_schedulers["CosineAnnealingWarmRestarts"](
+        T_0=5, T_mult=t_mult, eta_min_factor=0.001 / 0.1)
+    got = np.asarray([0.1 * float(fn(e)) for e in range(30)])
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-8)
+
+
+@pytest.mark.parametrize("mode,gamma", [("triangular", 1.0),
+                                        ("triangular2", 1.0),
+                                        ("exp_range", 0.98)])
+def test_cyclic_lr_matches_torch(mode, gamma):
+    kw = dict(base_lr=0.001, max_lr=0.01, step_size_up=4, mode=mode,
+              gamma=gamma)
+    want = _torch_lr_trace(torch.optim.lr_scheduler.CyclicLR, 0.001, 25,
+                           cycle_momentum=False, **kw)
+    fn = dict_schedulers["CyclicLR"](**kw)
+    got = np.asarray([float(fn(e)) for e in range(25)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
+
+
+@pytest.mark.parametrize("strategy,three_phase", [("cos", False),
+                                                  ("linear", False),
+                                                  ("cos", True)])
+def test_one_cycle_lr_matches_torch(strategy, three_phase):
+    kw = dict(max_lr=0.01, total_steps=20, pct_start=0.3,
+              anneal_strategy=strategy, div_factor=25.0,
+              final_div_factor=1e4, three_phase=three_phase)
+    want = _torch_lr_trace(torch.optim.lr_scheduler.OneCycleLR, 0.01, 20,
+                           cycle_momentum=False, **kw)
+    fn = dict_schedulers["OneCycleLR"](**kw)
+    got = np.asarray([float(fn(e)) for e in range(20)])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-9)
+
+
+def test_reduce_lr_on_plateau_matches_torch():
+    from oaprogressionmmf_tpu.ops.schedules import ReduceLROnPlateau
+
+    metrics = [1.0, 0.9, 0.9, 0.9, 0.9, 0.89, 0.89, 0.89, 0.89, 0.89,
+               0.5, 0.5, 0.5, 0.5, 0.51, 0.52, 0.4]
+    p = torch.nn.Parameter(torch.zeros(1))
+    opt = torch.optim.SGD([p], lr=0.1)
+    tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+        opt, mode="min", factor=0.5, patience=2, cooldown=1, min_lr=1e-3)
+    ours = ReduceLROnPlateau(lr_init=0.1, mode="min", factor=0.5,
+                             patience=2, cooldown=1, min_lr=1e-3)
+    for m in metrics:
+        tsched.step(m)
+        got = ours.step(m)
+        np.testing.assert_allclose(got, opt.param_groups[0]["lr"],
+                                   rtol=1e-7)
+
+
+def test_registry_matches_reference_scheduler_list():
+    # koafusion/various/_optimizers.py:55-67 (+ConstantLR convenience)
+    assert set(dict_schedulers) >= {
+        "LambdaLR", "MultiplicativeLR", "StepLR", "MultiStepLR",
+        "ExponentialLR", "CosineAnnealingLR", "ReduceLROnPlateau",
+        "CyclicLR", "OneCycleLR", "CosineAnnealingWarmRestarts",
+        "CustomWarmupStaticDecayLR", "CustomWarmupMultiStepLR"}
+
+
+def test_plateau_trains_via_injected_hyperparams():
+    """ReduceLROnPlateau end-to-end: the trainer injects the controller's
+    LR into the optimizer hyperparams (optax.inject_hyperparams)."""
+    import optax
+    from oaprogressionmmf_tpu.train.state import dict_optimizers
+
+    def factory(learning_rate):
+        return dict_optimizers["SGD"](lambda _s: learning_rate)
+
+    tx = optax.inject_hyperparams(factory)(learning_rate=0.1)
+    params = {"w": jnp.asarray([1.0, 2.0])}
+    state = tx.init(params)
+    grads = {"w": jnp.asarray([1.0, 1.0])}
+    updates, state = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), [-0.1, -0.1],
+                               rtol=1e-6)
+    state = state._replace(hyperparams={**state.hyperparams,
+                                        "learning_rate":
+                                        jnp.asarray(0.05, jnp.float32)})
+    updates, state = tx.update(grads, state, params)
+    np.testing.assert_allclose(np.asarray(updates["w"]), [-0.05, -0.05],
+                               rtol=1e-6)
