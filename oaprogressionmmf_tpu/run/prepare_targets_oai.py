@@ -24,6 +24,7 @@ import logging
 import sys
 from pathlib import Path
 
+import numpy as np
 import pandas as pd
 import yaml
 
@@ -106,24 +107,92 @@ def build_scan_extract(dir_root_oai_mri, sequence: str,
     return pd.DataFrame(rows)
 
 
+def copy_scans_from_oai(dir_scan_source, dir_scan_target,
+                        df_extract: pd.DataFrame, num_threads: int = 4,
+                        dry_run: bool = False) -> pd.DataFrame:
+    """Copy the selected DICOM series out of an OAI image release.
+
+    The targets notebook's scan-copying step
+    (Targets_meta_and_scans_from_OAI.ipynb, "copy_scans_from_oai" cell):
+    for each extract row, copy `<source>/<visit_month[1:]>/<Folder>` into
+    the same layout under `dir_scan_target`, skip-and-log missing series
+    (SURVEY §5.3 prep resilience), and return only the successfully copied
+    rows — the caller persists them as the raw tree's `meta_base.csv`.
+    IO-bound → thread pool (the reference uses joblib n_jobs=4).
+    """
+    import shutil
+    from concurrent.futures import ThreadPoolExecutor
+
+    src_root = Path(dir_scan_source)
+    dst_root = Path(dir_scan_target)
+    dst_root.mkdir(parents=True, exist_ok=True)
+
+    def one(row) -> bool:
+        vm = str(row.get("visit_month", "000m"))[1:]
+        p_from = src_root / vm / str(row["Folder"])
+        p_to = dst_root / vm / str(row["Folder"])
+        if not p_from.exists():
+            logger.warning(f"Missing: {p_from}")
+            return False
+        if not dry_run and not p_to.exists():
+            shutil.copytree(p_from, p_to)
+        return True
+
+    with ThreadPoolExecutor(max_workers=max(1, int(num_threads))) as pool:
+        ok = list(pool.map(one, (r for _, r in df_extract.iterrows())))
+    out = df_extract.loc[list(ok), :]
+    logger.info(f"Copied {int(np.sum(ok)) if ok else 0}/{len(df_extract)} "
+                f"series into {dst_root}")
+    return out
+
+
 def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     argv = list(sys.argv[1:] if argv is None else argv)
     config = {"path_kl_long": None, "path_clin_base": None,
-              "dir_root_output": None, "path_tiulpin": None}
+              "dir_root_output": None, "path_tiulpin": None,
+              "dir_scan_source": None, "dir_scan_target": None,
+              "path_csv_extract": None, "num_threads": 4,
+              "scan_dry_run": False}
     for ov in argv:
         k, v = ov.split("=", 1)
         config[k] = yaml.safe_load(v)
-    for k in ("path_kl_long", "path_clin_base", "dir_root_output"):
-        if not config[k]:
-            raise SystemExit(f"Missing required override: {k}=...")
 
-    out = build_meta_base(config["path_kl_long"], config["path_clin_base"],
-                          config["path_tiulpin"])
-    out_dir = Path(config["dir_root_output"])
-    out_dir.mkdir(parents=True, exist_ok=True)
-    out.to_csv(out_dir / "meta_base.csv", index=False)
-    logger.info(f"Wrote {len(out)} knees to {out_dir / 'meta_base.csv'}")
+    did_something = False
+    if config["path_kl_long"] or config["path_clin_base"]:
+        for k in ("path_kl_long", "path_clin_base", "dir_root_output"):
+            if not config[k]:
+                raise SystemExit(f"Missing required override: {k}=...")
+        out = build_meta_base(config["path_kl_long"],
+                              config["path_clin_base"],
+                              config["path_tiulpin"])
+        out_dir = Path(config["dir_root_output"])
+        out_dir.mkdir(parents=True, exist_ok=True)
+        out.to_csv(out_dir / "meta_base.csv", index=False)
+        logger.info(f"Wrote {len(out)} knees to {out_dir / 'meta_base.csv'}")
+        did_something = True
+
+    # scan-copy stage (notebook cell "copy_scans_from_oai"): needs an
+    # extract table + source/target roots
+    if config["dir_scan_source"] or config["dir_scan_target"]:
+        for k in ("dir_scan_source", "dir_scan_target", "path_csv_extract"):
+            if not config[k]:
+                raise SystemExit(f"Missing required override: {k}=...")
+        df_extract = pd.read_csv(config["path_csv_extract"],
+                                 dtype={"ParticipantID": str})
+        df_copied = copy_scans_from_oai(
+            config["dir_scan_source"], config["dir_scan_target"], df_extract,
+            num_threads=int(config["num_threads"]),
+            dry_run=bool(config["scan_dry_run"]))
+        df_copied.to_csv(Path(config["dir_scan_target"]) / "meta_base.csv",
+                         index=False)
+        did_something = True
+
+    if not did_something:
+        raise SystemExit(
+            "Nothing to do: pass path_kl_long/path_clin_base/"
+            "dir_root_output for targets, and/or dir_scan_source/"
+            "dir_scan_target/path_csv_extract for scan copying")
 
 
 

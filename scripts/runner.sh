@@ -1,155 +1,158 @@
 #!/usr/bin/env bash
 # Full experiment matrix: {6 model families} x {5 targets} x {modality
-# combos} — train, eval, explain, clinical baselines.
+# combos} — prepare, train, eval, explain, clinical baselines.
 #
 # Orchestration equivalent of the reference's runner.sh protocol
-# (reference runner.sh:82-784), driving the TPU-native CLI apps. Each block
-# can be run independently; all state lands under ${PROJ}/results.
+# (reference runner.sh:46-784), driving the TPU-native CLI apps. The combo
+# table below is block-for-block with the reference's train matrix:
+#   xr1_cnn            1 combo   (runner.sh:86-104)
+#   mr1_cnn_trf        3 combos  (runner.sh:108-156)
+#   mr2_cnn_trf        3 pairs   (runner.sh:160-212)
+#   xr1mr1_cnn_trf     3 combos  (runner.sh:216-269)
+#   xr1mr2_cnn_trf     3 combos  (runner.sh:273-337)
+#   xr1mr2c1_cnn_trf   1 combo   (runner.sh:340-363)
+# and every trained combo is evaluated + explained (runner.sh:366-784).
 #
 # Required env:
 #   PROJ  — project root (results live in ${PROJ}/results)
 #   DATA  — prepared-data root (OAI_*_prep dirs)
+# Optional:
+#   EPOCHS (60), PROFILE (none|time|compute|trace)
 set -euo pipefail
 
 PROJ="${PROJ:?set PROJ=<project root>}"
 DATA="${DATA:?set DATA=<prepared data root>}"
+EPOCHS="${EPOCHS:-60}"
+PROFILE="${PROFILE:-none}"
 PY="python -m"
 
 L_TARGETS=(prog_kl_12 prog_kl_24 prog_kl_36 prog_kl_48 tiulpin2019_prog_bin)
 
 COMMON=(path_project_root="${PROJ}" path_data_root="${DATA}"
-        training.epochs.num=60)
+        "training.epochs.num=${EPOCHS}")
+
+# Fusion-family FE selection (reference runner.sh:224-227 etc.)
+FE_FUSION=(model.fe.xr.arch=resnext50_32x4d model.fe.xr.pretrained=true
+           model.fe.mr.arch=resnet50 model.fe.mr.pretrained=true)
 
 # ---------------------------------------------------------------------------
-# 0. Data preparation (run once)
+# Combo table: family → "combo-name : modals : input_size : downscale :
+#                        num_slices : train-batch"
+# Sizes/downscales/slice-counts are the reference's per-combo values.
 # ---------------------------------------------------------------------------
-prepare_data() {
-  ${PY} oaprogressionmmf_tpu.run.prepare_data_xr_oulu \
-    dir_root_mipt_xr="${DATA}/XR_Oulu_raw" \
-    dir_root_output="${DATA}/OAI_XR_PA_prep" num_threads=12
-  ${PY} oaprogressionmmf_tpu.run.prepare_data_mri_oai \
-    dir_root_oai_mri="${DATA}/OAI_MRI_raw" \
-    path_csv_extract="${DATA}/OAI_Clin_prep/meta_extract__sag_3d_dess.csv" \
-    dir_root_output="${DATA}/OAI_SAG_3D_DESS_prep" num_threads=12
-  ${PY} oaprogressionmmf_tpu.run.prepare_data_mri_oai \
-    dir_root_oai_mri="${DATA}/OAI_MRI_raw" \
-    path_csv_extract="${DATA}/OAI_Clin_prep/meta_extract__cor_iw_tse.csv" \
-    dir_root_output="${DATA}/OAI_COR_IW_TSE_prep" num_threads=12
-  ${PY} oaprogressionmmf_tpu.run.prepare_data_mri_oai \
-    dir_root_oai_mri="${DATA}/OAI_MRI_raw" \
-    path_csv_extract="${DATA}/OAI_Clin_prep/meta_extract__sag_t2_map.csv" \
-    dir_root_output="${DATA}/OAI_SAG_T2_MAP_prep" num_threads=12
+COMBOS=(
+  "xr1_cnn:xr:[xr_pa]:[[700,700]]:[[0.5,0.5]]:-:64"
+  "mr1_cnn_trf:dess:[sag_3d_dess]:[[320,320,128]]:[[0.5,0.5,0.5]]:64:32"
+  "mr1_cnn_trf:tse:[cor_iw_tse]:[[320,320,32]]:[[0.5,0.5,1.0]]:32:32"
+  "mr1_cnn_trf:t2:[sag_t2_map]:[[320,320,25]]:[[0.5,0.5,1.0]]:25:32"
+  "mr2_cnn_trf:dess_tse:[sag_3d_dess,cor_iw_tse]:[[320,320,128],[320,320,32]]:[[0.5,0.5,0.5],[0.5,0.5,1.0]]:[64,32]:16"
+  "mr2_cnn_trf:dess_t2:[sag_3d_dess,sag_t2_map]:[[320,320,128],[320,320,25]]:[[0.5,0.5,0.5],[0.5,0.5,1.0]]:[64,25]:16"
+  "mr2_cnn_trf:tse_t2:[cor_iw_tse,sag_t2_map]:[[320,320,32],[320,320,25]]:[[0.5,0.5,1.0],[0.5,0.5,1.0]]:[32,25]:16"
+  "xr1mr1_cnn_trf:xr_dess:[xr_pa,sag_3d_dess]:[[700,700],[320,320,128]]:[[0.5,0.5],[0.5,0.5,0.5]]:[1,64]:32"
+  "xr1mr1_cnn_trf:xr_tse:[xr_pa,cor_iw_tse]:[[700,700],[320,320,32]]:[[0.5,0.5],[0.5,0.5,1.0]]:[1,32]:32"
+  "xr1mr1_cnn_trf:xr_t2:[xr_pa,sag_t2_map]:[[700,700],[320,320,25]]:[[0.5,0.5],[0.5,0.5,1.0]]:[1,25]:32"
+  "xr1mr2_cnn_trf:xr_dess_tse:[xr_pa,sag_3d_dess,cor_iw_tse]:[[700,700],[320,320,128],[320,320,32]]:[[0.5,0.5],[0.5,0.5,0.5],[0.5,0.5,1.0]]:[1,64,32]:16"
+  "xr1mr2_cnn_trf:xr_dess_t2:[xr_pa,sag_3d_dess,sag_t2_map]:[[700,700],[320,320,128],[320,320,25]]:[[0.5,0.5],[0.5,0.5,0.5],[0.5,0.5,1.0]]:[1,64,25]:16"
+  "xr1mr2_cnn_trf:xr_tse_t2:[xr_pa,cor_iw_tse,sag_t2_map]:[[700,700],[320,320,32],[320,320,25]]:[[0.5,0.5],[0.5,0.5,1.0],[0.5,0.5,1.0]]:[1,32,25]:16"
+  "xr1mr2c1_cnn_trf:xr_dess_t2_clin:[xr_pa,sag_3d_dess,sag_t2_map,clin]:[[700,700],[320,320,128],[320,320,25],[16]]:[[0.5,0.5],[0.5,0.5,0.5],[0.5,0.5,1.0],[1.0]]:[1,64,25,1]:16"
+)
+
+_family_args() {
+  # per-family FE/optim args beyond the combo table
+  local model="$1"
+  case "${model}" in
+    xr1_cnn)
+      echo "model.fe.arch=resnext50_32x4d model.fe.pretrained=true" \
+           "training.optim.lr_init=1e-3" \
+           "training.sched.name=CustomWarmupMultiStepLR" \
+           "training.sched.params={epochs_warmup:+5,+mstep_milestones:+[20,+40]}" ;;
+    mr1_cnn_trf|mr2_cnn_trf)
+      echo "model.fe.pretrained=true" ;;
+    xr1mr2c1_cnn_trf)
+      echo "${FE_FUSION[*]}" \
+           "model.fe.xr.dropout=0.1 model.fe.mr.dropout=0.1" \
+           "model.fe.clin.dropout=0.1" \
+           "model.fe.clin.dim_in=9 model.fe.clin.dim_out=2048" ;;
+    *)  # xr1mr1 / xr1mr2
+      echo "${FE_FUSION[*]}" ;;
+  esac
 }
 
-# ---------------------------------------------------------------------------
-# 1. XR-only CNN  (batch 64, lr 1e-3, warmup-multistep)
-# ---------------------------------------------------------------------------
-train_xr1_cnn() {
-  for TGT in "${L_TARGETS[@]}"; do
-    ${PY} oaprogressionmmf_tpu.run.train_prog_fus model=xr1_cnn \
-      "${COMMON[@]}" experiment_id="xr1_cnn__${TGT}" \
-      data.target="${TGT}" 'data.sets.n0.modals=[xr_pa]' \
-      'model.input_size=[[700,700]]' 'model.downscale=[[0.5,0.5]]' \
-      model.fe.arch=resnext50_32x4d \
-      training.batch_size=64 training.optim.lr_init=1e-3 \
-      training.sched.name=CustomWarmupMultiStepLR \
-      'training.sched.params={epochs_warmup: 5, mstep_milestones: [20, 40]}'
-  done
+_run_combo() {
+  # $1 = combo row, $2 = target, $3 = regime (train|eval|explain)
+  local row="$1" TGT="$2" regime="$3"
+  local model combo modals sizes ds nsl batch
+  IFS=':' read -r model combo modals sizes ds nsl batch <<< "${row}"
+  local exp="${model}__${combo}__${TGT}"
+  local args=(model="${model}" "${COMMON[@]}" experiment_id="${exp}"
+              data.target="${TGT}" "data.sets.n0.modals=${modals}"
+              "model.input_size=${sizes}" "model.downscale=${ds}")
+  [ "${nsl}" != "-" ] && args+=("model.agg.num_slices=${nsl}")
+  # shellcheck disable=SC2207
+  local fam=($(_family_args "${model}"))
+  # the sched params contain '+'-encoded spaces (yaml flow needs them)
+  local fam_decoded=()
+  for a in "${fam[@]}"; do fam_decoded+=("${a//+/ }"); done
+
+  case "${regime}" in
+    train)
+      ${PY} oaprogressionmmf_tpu.run.train_prog_fus "${args[@]}" \
+        "${fam_decoded[@]}" \
+        "training.batch_size=${batch}" "validation.batch_size=${batch}" ;;
+    eval)
+      ${PY} oaprogressionmmf_tpu.run.eval_prog_fus "${args[@]}" \
+        "${fam_decoded[@]}" model.restore_weights=true \
+        "testing.batch_size=${batch}" "testing.profile=${PROFILE}" \
+        data.ignore_cache=true testing.regime=eval ;;
+    explain)
+      # modal-ablation regime (reference runner.sh:372-379)
+      ${PY} oaprogressionmmf_tpu.run.eval_prog_fus "${args[@]}" \
+        "${fam_decoded[@]}" model.restore_weights=true \
+        model.output_type=main "testing.batch_size=${batch}" \
+        data.ignore_cache=true testing.regime=explain \
+        testing.explain_fn=modal_abl testing.use_cached=true ;;
+  esac
 }
 
-# ---------------------------------------------------------------------------
-# 2. Single-MRI CNN+FeaT  (batch 32)
-# ---------------------------------------------------------------------------
-train_mr1_cnn_trf() {
-  declare -A SIZES=([sag_3d_dess]="[[320,320,128]]"
-                    [cor_iw_tse]="[[320,320,32]]"
-                    [sag_t2_map]="[[320,320,25]]")
-  declare -A DS=([sag_3d_dess]="[[0.5,0.5,0.5]]"
-                 [cor_iw_tse]="[[0.5,0.5,1.0]]"
-                 [sag_t2_map]="[[0.5,0.5,1.0]]")
-  declare -A NSL=([sag_3d_dess]=64 [cor_iw_tse]=32 [sag_t2_map]=25)
-  for TGT in "${L_TARGETS[@]}"; do
-    for MOD in sag_3d_dess cor_iw_tse sag_t2_map; do
-      ${PY} oaprogressionmmf_tpu.run.train_prog_fus model=mr1_cnn_trf \
-        "${COMMON[@]}" experiment_id="mr1_cnn_trf__${MOD}__${TGT}" \
-        data.target="${TGT}" "data.sets.n0.modals=[${MOD}]" \
-        "model.input_size=${SIZES[$MOD]}" "model.downscale=${DS[$MOD]}" \
-        "model.agg.num_slices=${NSL[$MOD]}" training.batch_size=32
+_matrix() {
+  # $1 = regime, $2 = optional family filter
+  local regime="$1" family="${2:-}"
+  for row in "${COMBOS[@]}"; do
+    [ -n "${family}" ] && [[ "${row}" != "${family}:"* ]] && continue
+    for TGT in "${L_TARGETS[@]}"; do
+      echo ">>> ${regime}: ${row%%:*} / ${TGT}"
+      _run_combo "${row}" "${TGT}" "${regime}"
     done
   done
 }
 
 # ---------------------------------------------------------------------------
-# 3. Two-MRI CNN+FeaT  (batch 16)
+# 0. Data preparation (run once; reference runner.sh:46-78 + targets nb)
 # ---------------------------------------------------------------------------
-train_mr2_cnn_trf() {
-  for TGT in "${L_TARGETS[@]}"; do
-    ${PY} oaprogressionmmf_tpu.run.train_prog_fus model=mr2_cnn_trf \
-      "${COMMON[@]}" experiment_id="mr2_cnn_trf__dess_tse__${TGT}" \
-      data.target="${TGT}" 'data.sets.n0.modals=[sag_3d_dess, cor_iw_tse]' \
-      'model.input_size=[[320,320,128],[320,320,32]]' \
-      'model.downscale=[[0.5,0.5,0.5],[0.5,0.5,1.0]]' \
-      'model.agg.num_slices=[64, 32]' training.batch_size=16
+prepare_data() {
+  # targets (Targets_meta_and_scans_from_OAI.ipynb label-derivation cells)
+  ${PY} oaprogressionmmf_tpu.run.prepare_targets_oai \
+    path_kl_long="${DATA}/OAI_Clin_raw/kl_long.csv" \
+    path_clin_base="${DATA}/OAI_Clin_raw/clin_base.csv" \
+    path_tiulpin="${DATA}/OAI_Clin_raw/tiulpin2019.csv" \
+    dir_root_output="${DATA}/OAI_Clin_prep"
+  # per-sequence DICOM copy out of the OAI release (notebook scan-copy
+  # cells), then conversion to the prepared NIfTI trees
+  for SEQ in SAG_3D_DESS COR_IW_TSE SAG_T2_MAP; do
+    seq_lower="$(echo "${SEQ}" | tr '[:upper:]' '[:lower:]')"
+    ${PY} oaprogressionmmf_tpu.run.prepare_targets_oai \
+      dir_scan_source="${DATA}/OAIBaselineImages" \
+      dir_scan_target="${DATA}/OAI_${SEQ}_raw" \
+      path_csv_extract="${DATA}/meta_extract__${seq_lower}.csv" \
+      num_threads=12
+    ${PY} oaprogressionmmf_tpu.run.prepare_data_mri_oai \
+      dir_root_oai_mri="${DATA}/OAI_${SEQ}_raw" \
+      path_csv_extract="${DATA}/meta_extract__${seq_lower}.csv" \
+      dir_root_output="${DATA}/OAI_${SEQ}_prep" num_threads=12
   done
-}
-
-# ---------------------------------------------------------------------------
-# 4. XR + 1 MRI fusion  (batch 32)
-# ---------------------------------------------------------------------------
-train_xr1mr1_cnn_trf() {
-  for TGT in "${L_TARGETS[@]}"; do
-    ${PY} oaprogressionmmf_tpu.run.train_prog_fus model=xr1mr1_cnn_trf \
-      "${COMMON[@]}" experiment_id="xr1mr1_cnn_trf__dess__${TGT}" \
-      data.target="${TGT}" 'data.sets.n0.modals=[xr_pa, sag_3d_dess]' \
-      'model.input_size=[[700,700],[320,320,128]]' \
-      'model.downscale=[[0.5,0.5],[0.5,0.5,0.5]]' \
-      'model.agg.num_slices=[1, 64]' training.batch_size=32
-  done
-}
-
-# ---------------------------------------------------------------------------
-# 5. XR + 2 MRI hierarchical fusion  (batch 16)
-# ---------------------------------------------------------------------------
-train_xr1mr2_cnn_trf() {
-  for TGT in "${L_TARGETS[@]}"; do
-    ${PY} oaprogressionmmf_tpu.run.train_prog_fus model=xr1mr2_cnn_trf \
-      "${COMMON[@]}" experiment_id="xr1mr2_cnn_trf__${TGT}" \
-      data.target="${TGT}" \
-      'data.sets.n0.modals=[xr_pa, sag_3d_dess, cor_iw_tse]' \
-      training.batch_size=16
-  done
-}
-
-# ---------------------------------------------------------------------------
-# 6. Flagship 4-modality fusion  (batch 16)
-# ---------------------------------------------------------------------------
-train_xr1mr2c1_cnn_trf() {
-  for TGT in "${L_TARGETS[@]}"; do
-    ${PY} oaprogressionmmf_tpu.run.train_prog_fus model=xr1mr2c1_cnn_trf \
-      "${COMMON[@]}" experiment_id="xr1mr2c1_cnn_trf__${TGT}" \
-      data.target="${TGT}" \
-      'data.sets.n0.modals=[xr_pa, sag_3d_dess, sag_t2_map, clin]' \
-      training.batch_size=16
-  done
-}
-
-# ---------------------------------------------------------------------------
-# Eval + explain every trained experiment
-# ---------------------------------------------------------------------------
-eval_all() {
-  for EXP_DIR in "${PROJ}"/results/*/; do
-    EXP="$(basename "${EXP_DIR}")"
-    [ -d "${EXP_DIR}/weights" ] || continue
-    MODEL="${EXP%%__*}"
-    TGT="${EXP##*__}"
-    ${PY} oaprogressionmmf_tpu.run.eval_prog_fus "model=${MODEL}" \
-      path_project_root="${PROJ}" path_data_root="${DATA}" \
-      experiment_id="${EXP}" data.target="${TGT}" testing.regime=eval
-    ${PY} oaprogressionmmf_tpu.run.eval_prog_fus "model=${MODEL}" \
-      path_project_root="${PROJ}" path_data_root="${DATA}" \
-      experiment_id="${EXP}" data.target="${TGT}" testing.regime=explain \
-      testing.explain_fn=modal_abl
-  done
+  ${PY} oaprogressionmmf_tpu.run.prepare_data_xr_oulu \
+    dir_root_mipt_xr="${DATA}/OAI_XR_ROIs" \
+    dir_root_output="${DATA}/OAI_XR_PA_prep" num_threads=12
 }
 
 # ---------------------------------------------------------------------------
@@ -169,19 +172,30 @@ train_clin_baselines() {
   done
 }
 
+# ---------------------------------------------------------------------------
+# Results analysis (Analysis_Visualization.ipynb equivalent)
+# ---------------------------------------------------------------------------
+analyze() {
+  ${PY} oaprogressionmmf_tpu.run.analyze_results \
+    path_project_root="${PROJ}" path_data_root="${DATA}"
+}
+
 case "${1:-all}" in
-  prepare) prepare_data ;;
-  xr1) train_xr1_cnn ;;
-  mr1) train_mr1_cnn_trf ;;
-  mr2) train_mr2_cnn_trf ;;
-  xr1mr1) train_xr1mr1_cnn_trf ;;
-  xr1mr2) train_xr1mr2_cnn_trf ;;
-  xr1mr2c1) train_xr1mr2c1_cnn_trf ;;
-  eval) eval_all ;;
-  clin) train_clin_baselines ;;
+  prepare)   prepare_data ;;
+  xr1)       _matrix train xr1_cnn ;;
+  mr1)       _matrix train mr1_cnn_trf ;;
+  mr2)       _matrix train mr2_cnn_trf ;;
+  xr1mr1)    _matrix train xr1mr1_cnn_trf ;;
+  xr1mr2)    _matrix train xr1mr2_cnn_trf ;;
+  xr1mr2c1)  _matrix train xr1mr2c1_cnn_trf ;;
+  train)     _matrix train ;;
+  eval)      _matrix eval "${2:-}" ;;
+  explain)   _matrix explain "${2:-}" ;;
+  clin)      train_clin_baselines ;;
+  analyze)   analyze ;;
   all)
-    train_xr1_cnn; train_mr1_cnn_trf; train_mr2_cnn_trf
-    train_xr1mr1_cnn_trf; train_xr1mr2_cnn_trf; train_xr1mr2c1_cnn_trf
-    eval_all; train_clin_baselines ;;
-  *) echo "usage: runner.sh {prepare|xr1|mr1|mr2|xr1mr1|xr1mr2|xr1mr2c1|eval|clin|all}"; exit 1 ;;
+    _matrix train; _matrix eval; _matrix explain
+    train_clin_baselines; analyze ;;
+  *) echo "usage: runner.sh {prepare|xr1|mr1|mr2|xr1mr1|xr1mr2|xr1mr2c1|train|eval [family]|explain [family]|clin|analyze|all}"
+     exit 1 ;;
 esac

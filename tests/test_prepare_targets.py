@@ -87,3 +87,44 @@ def test_build_scan_extract(tmp_path):
 
     df2 = build_scan_extract(tmp_path, "SAG_3D_DESS", patients=["9000002"])
     assert len(df2) == 1
+
+
+def test_copy_scans_from_oai(tmp_path):
+    """Notebook scan-copy parity: copy selected series trees, skip missing,
+    return only copied rows (Targets_meta_and_scans_from_OAI.ipynb)."""
+    import pandas as pd
+    from oaprogressionmmf_tpu.run.prepare_targets_oai import (
+        copy_scans_from_oai)
+
+    src = tmp_path / "OAIBaselineImages"
+    series = src / "00m" / "0.E.1" / "9000001" / "20050101" / "12345"
+    series.mkdir(parents=True)
+    (series / "001").write_bytes(b"fake-dicom")
+
+    df = pd.DataFrame([
+        {"Folder": "0.E.1/9000001/20050101/12345", "visit_month": "000m",
+         "ParticipantID": "9000001"},
+        {"Folder": "0.E.1/9000002/20050101/99999", "visit_month": "000m",
+         "ParticipantID": "9000002"},   # missing on disk
+    ])
+    dst = tmp_path / "OAI_SAG_3D_DESS_raw"
+    out = copy_scans_from_oai(src, dst, df, num_threads=2)
+
+    assert len(out) == 1
+    assert out.iloc[0]["ParticipantID"] == "9000001"
+    copied = dst / "00m" / "0.E.1" / "9000001" / "20050101" / "12345" / "001"
+    assert copied.read_bytes() == b"fake-dicom"
+
+
+def test_copy_scans_dry_run(tmp_path):
+    import pandas as pd
+    from oaprogressionmmf_tpu.run.prepare_targets_oai import (
+        copy_scans_from_oai)
+
+    src = tmp_path / "src"
+    (src / "00m" / "rel" / "p" / "d" / "b").mkdir(parents=True)
+    df = pd.DataFrame([{"Folder": "rel/p/d/b", "visit_month": "000m"}])
+    dst = tmp_path / "dst"
+    out = copy_scans_from_oai(src, dst, df, dry_run=True)
+    assert len(out) == 1
+    assert not (dst / "00m" / "rel").exists()
