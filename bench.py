@@ -7,11 +7,12 @@ reference times with `testing.profile=time` (koafusion/run/eval_prog_fus.py:
 286-294), minus host IO.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-`vs_baseline` is value / REF_BASELINE_KNEES_PER_SEC, where the baseline is
-an estimate of the reference's single-GPU inference throughput for this
-model (the reference repo publishes no numbers — BASELINE.md; 25 knees/s is
-a generous estimate for a torch ResNeXt50+2xResNet50+FeaT pipeline at these
-input sizes on one datacenter GPU).
+`vs_baseline` is value / REF_BASELINE_KNEES_PER_SEC. The baseline is the
+reference's single-GPU inference throughput for this model, grounded by
+measurement + FLOP derivation in scripts/measure_ref_baseline.py (the repo
+publishes no numbers): 430 GFLOP/knee at A100-class torch-eager efficiency
+→ 25.6 knees/s (the generous bound; a V100 bound is ~12.8). See
+BASELINE.md "Measured + derived reference throughput".
 """
 
 import json
@@ -21,7 +22,7 @@ import numpy as np
 
 import os
 
-REF_BASELINE_KNEES_PER_SEC = 25.0
+REF_BASELINE_KNEES_PER_SEC = 25.6
 BATCH = int(os.environ.get("OAPROG_BENCH_BATCH", 16))
 N_WARMUP = int(os.environ.get("OAPROG_BENCH_WARMUP", 2))
 N_ITERS = int(os.environ.get("OAPROG_BENCH_ITERS", 10))
