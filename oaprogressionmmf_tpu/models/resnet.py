@@ -42,6 +42,7 @@ class BasicBlock(nn.Module):
     groups: int = 1
     base_width: int = 64
     expansion: int = 1
+    dense_groups: bool = True    # unused (no grouped convs in BasicBlock)
 
     @nn.compact
     def __call__(self, x):
@@ -61,6 +62,47 @@ class BasicBlock(nn.Module):
         return nn.relu(y + residual)
 
 
+class _GroupedConv3x3(nn.Module):
+    """Grouped 3x3 conv whose parameter keeps the grouped (kh, kw, Cin/G,
+    Cout) layout but which COMPUTES as a block-diagonal dense conv.
+
+    On the MXU a G=32 grouped conv runs each group as a 4-16-lane matmul —
+    measured 6.2% MXU for resnext50 @350²/B16 vs 23.5% for an equal-FLOP
+    dense resnet50 (BENCH_NOTES r2). Expanding the kernel to its
+    block-diagonal dense equivalent is numerically identical (off-block
+    zeros contribute nothing, and gradients project back onto the grouped
+    parameter exactly), trades 32× FLOPs on these convs for ~4× better
+    MXU mapping, and keeps checkpoints/interop byte-compatible."""
+
+    features: int
+    strides: tuple
+    groups: int
+    dense_groups: bool
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cin = x.shape[-1]
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (3, 3, cin // self.groups, self.features),
+                            jnp.float32)
+        k = kernel.astype(self.dtype)
+        groups = self.groups
+        if self.dense_groups and groups > 1:
+            kh, kw, cing, cout = k.shape
+            coutg = cout // groups
+            t = k.reshape(kh, kw, cing, groups, coutg)
+            eye = jnp.eye(groups, dtype=k.dtype)
+            # dense[h, w, (j, i), (g, c)] = t[h, w, i, g, c] * (j == g)
+            dense = jnp.einsum("hwigc,gj->hwjigc", t, eye)
+            k = dense.reshape(kh, kw, groups * cing, cout)
+            groups = 1
+        return jax.lax.conv_general_dilated(
+            x, k, self.strides, [(1, 1), (1, 1)],
+            feature_group_count=groups,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
 class Bottleneck(nn.Module):
     filters: int
     stride: int
@@ -69,22 +111,33 @@ class Bottleneck(nn.Module):
     groups: int = 1
     base_width: int = 64
     expansion: int = 4
+    dense_groups: bool = True
 
     @nn.compact
     def __call__(self, x):
         residual = x
         width = int(self.filters * (self.base_width / 64.0)) * self.groups
 
-        y = self.conv(width, (1, 1))(x)
+        y = self.conv(width, (1, 1), name="Conv_0")(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        # stride on the 3x3 (torchvision v1.5 placement)
-        y = self.conv(width, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)),
-                      feature_group_count=self.groups)(y)
+        # stride on the 3x3 (torchvision v1.5 placement); explicit Conv_*
+        # names keep the parameter tree identical whichever branch runs
+        if self.groups > 1:
+            dt = self.conv.keywords.get("dtype", jnp.float32)
+            y = _GroupedConv3x3(features=width,
+                                strides=(self.stride, self.stride),
+                                groups=self.groups,
+                                dense_groups=self.dense_groups,
+                                dtype=dt, name="Conv_1")(y)
+        else:
+            y = self.conv(width, (3, 3),
+                          strides=(self.stride, self.stride),
+                          padding=((1, 1), (1, 1)), name="Conv_1")(y)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters * self.expansion, (1, 1))(y)
+        y = self.conv(self.filters * self.expansion, (1, 1),
+                      name="Conv_2")(y)
         y = self.norm()(y)
 
         if residual.shape != y.shape:
@@ -138,6 +191,9 @@ class ResNetFE(nn.Module):
     # (B*S up to ~1024 images) would otherwise keep every block activation
     # live for the gradient pass and overflow HBM at production batch sizes
     remat: bool = True
+    # compute grouped 3x3s as block-diagonal dense convs (see
+    # _GroupedConv3x3) — ~4x better MXU mapping for ResNeXt on TPU
+    dense_groups: bool = True
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -165,6 +221,7 @@ class ResNetFE(nn.Module):
                     norm=norm,
                     groups=self.groups,
                     base_width=self.base_width,
+                    dense_groups=self.dense_groups,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(x)
 

@@ -1,0 +1,279 @@
+"""Training-dynamics parity rehearsal: reference torch vs this framework.
+
+Trains the SAME model (XR1Cnn/resnet18, dropout 0) from the SAME initial
+weights (flax init → export_reference_checkpoint → torch load) on the SAME
+synthetic dataset with identical batch order and host-side preprocessing,
+for N epochs:
+
+  * reference side: the reference's own model class + FocalLoss +
+    torch.optim.Adam(weight_decay) + CustomWarmupStaticDecayLR, all loaded
+    from /root/reference (torchvision shimmed by its vendored copy) —
+    the exact training semantics of koafusion/run/train_prog_fus.py:136-275;
+  * our side: the rebuilt flax model + ops.losses.FocalLoss +
+    train.state.dict_optimizers["Adam"] + ops.schedules, i.e. the same
+    pieces ProgressionTrainer composes.
+
+Reports step-matched loss trajectories and per-epoch validation AUROC for
+both sides + final held-out AUROC delta. Augmentation is disabled on both
+sides (the stochastic aug RNGs cannot be aligned across frameworks); this
+isolates model/loss/optimizer/BN-dynamics parity.
+
+Run (CPU backends, ~5-10 min): python scripts/rehearse_training_parity.py
+"""
+
+import importlib.util
+import json
+import sys
+import time
+import types
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+REF = Path("/root/reference/koafusion")
+
+EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+BATCH = 8
+N_TRAIN, N_VAL, N_TEST = 160, 64, 64
+LR_INIT, WEIGHT_DECAY = 1e-4, 1e-4
+SCHED = {"epochs_warmup": 5, "epochs_static": 100, "epochs_decay": 1}
+
+
+def _ref_module(dotted: str):
+    full = f"refkoa.{dotted}"
+    if full in sys.modules:
+        return sys.modules[full]
+    if "refkoa" not in sys.modules:
+        pkg = types.ModuleType("refkoa")
+        pkg.__path__ = [str(REF)]
+        sys.modules["refkoa"] = pkg
+    parts = dotted.split(".")
+    for i in range(1, len(parts)):
+        sub = "refkoa." + ".".join(parts[:i])
+        if sub not in sys.modules:
+            mod = types.ModuleType(sub)
+            mod.__path__ = [str(REF.joinpath(*parts[:i]))]
+            sys.modules[sub] = mod
+    spec = importlib.util.spec_from_file_location(
+        full, REF.joinpath(*parts[:-1], parts[-1] + ".py"),
+        submodule_search_locations=[])
+    mod = importlib.util.module_from_spec(spec)
+    mod.__package__ = "refkoa." + ".".join(parts[:-1])
+    sys.modules[full] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def make_data():
+    """Synthetic XR images with a planted label signal (learnable AUROC)."""
+    rng = np.random.RandomState(7)
+    n = N_TRAIN + N_VAL + N_TEST
+    y = rng.randint(0, 2, n).astype(np.int64)
+    x = rng.rand(n, 1, 64, 64).astype(np.float32) * 255.0
+    # planted signal: a soft bright blob whose intensity tracks the label
+    yy, xx = np.mgrid[0:64, 0:64]
+    blob = np.exp(-(((yy - 32) ** 2 + (xx - 32) ** 2) / (2 * 10.0 ** 2)))
+    x += (30.0 + 25.0 * y)[:, None, None, None] * blob[None, None]
+    # host-side eval preprocessing, identical for both sides:
+    # unit-range per sample then modality normalization (xr_pa stats)
+    from oaprogressionmmf_tpu.ops.preproc import MODALITY_STATS
+    mean, std = MODALITY_STATS["xr_pa"]
+    lo = x.min(axis=(1, 2, 3), keepdims=True)
+    hi = x.max(axis=(1, 2, 3), keepdims=True)
+    x = ((x - lo) / (hi - lo) - mean) / std
+    sl_tr = slice(0, N_TRAIN)
+    sl_va = slice(N_TRAIN, N_TRAIN + N_VAL)
+    sl_te = slice(N_TRAIN + N_VAL, n)
+    return (x[sl_tr], y[sl_tr]), (x[sl_va], y[sl_va]), (x[sl_te], y[sl_te])
+
+
+MODEL_CFG = {
+    "name": "XR1Cnn", "input_size": [[64, 64]], "downscale": False,
+    "input_channels": 1, "output_channels": 2, "output_type": "dict",
+    "debug": False, "restore_weights": False,
+    "fe": {"arch": "resnet18", "pretrained": False, "with_gap": True,
+           "dropout": 0.0},
+    "agg": {"hidden_size": 256, "dropout": 0.0},
+}
+
+
+def auroc(y_true, scores):
+    """Rank-based AUROC (no sklearn dependency needed here)."""
+    order = np.argsort(scores)
+    ranks = np.empty(len(scores))
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # average ties
+    for v in np.unique(scores):
+        m = scores == v
+        ranks[m] = ranks[m].mean()
+    pos = y_true == 1
+    n1, n0 = pos.sum(), (~pos).sum()
+    return (ranks[pos].sum() - n1 * (n1 + 1) / 2) / (n1 * n0)
+
+
+def run_reference(train, val, test, sd_init):
+    import torch
+
+    vendored = _ref_module("models._torchvision")
+
+    class _TVModels:
+        def __getattr__(self, name):
+            return getattr(vendored, name, None)
+
+    fake_tv = types.ModuleType("torchvision")
+    fake_tv.models = _TVModels()
+    sys.modules["torchvision"] = fake_tv
+    xr1 = _ref_module("models._xr1_cnn")
+    optim_mod = _ref_module("various._optimizers")
+    loss_mod = _ref_module("various._losses")
+
+    from oaprogressionmmf_tpu.config import Config
+    model = xr1.XR1Cnn(config=Config(dict(MODEL_CFG)), path_weights=None)
+    model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                           for k, v in sd_init.items()})
+    opt = torch.optim.Adam(model.parameters(), lr=LR_INIT,
+                           weight_decay=WEIGHT_DECAY)
+    sched = optim_mod.CustomWarmupStaticDecayLR(opt, **SCHED)
+    loss_fn = loss_mod.FocalLoss(num_classes=2, gamma=2.0, reduction="mean")
+
+    (x_tr, y_tr), (x_va, y_va), (x_te, y_te) = train, val, test
+    losses, val_aucs = [], []
+
+    def predict(x):
+        model.eval()
+        outs = []
+        with torch.no_grad():
+            for i in range(0, len(x), BATCH):
+                o = model(torch.from_numpy(x[i:i + BATCH]))["main"]
+                outs.append(torch.softmax(o, dim=-1)[:, 1].numpy())
+        return np.concatenate(outs)
+
+    steps = N_TRAIN // BATCH
+    for epoch in range(EPOCHS):
+        model.train()
+        perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
+        for s in range(steps):
+            idx = perm[s * BATCH:(s + 1) * BATCH]
+            xb = torch.from_numpy(x_tr[idx])
+            yb = torch.from_numpy(y_tr[idx])
+            opt.zero_grad()
+            out = model(xb)["main"]
+            loss = loss_fn(out, yb)
+            loss.backward()
+            opt.step()
+            losses.append(float(loss))
+        sched.step()
+        val_aucs.append(auroc(y_va, predict(x_va)))
+    test_auc = auroc(y_te, predict(x_te))
+    return losses, val_aucs, test_auc
+
+
+def run_ours(train, val, test):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from oaprogressionmmf_tpu.models import dict_models
+    from oaprogressionmmf_tpu.ops.losses import dict_losses
+    from oaprogressionmmf_tpu.ops.schedules import make_lr_schedule
+    from oaprogressionmmf_tpu.train.state import TrainState, dict_optimizers
+    from oaprogressionmmf_tpu.utils.torch_interop import (
+        export_reference_checkpoint)
+
+    (x_tr, y_tr), (x_va, y_va), (x_te, y_te) = train, val, test
+    steps = N_TRAIN // BATCH
+
+    model = dict_models["XR1Cnn"](config=MODEL_CFG)
+    loss_fn = dict_losses["FocalLoss"](num_classes=2, gamma=2.0,
+                                       reduction="mean")
+    lr_schedule = make_lr_schedule("CustomWarmupStaticDecayLR", SCHED,
+                                   lr_init=LR_INIT, steps_per_epoch=steps)
+    tx = dict_optimizers["Adam"](lr_schedule, weight_decay=WEIGHT_DECAY)
+
+    variables = model.init(jax.random.key(0),
+                           jnp.asarray(x_tr[:2]), train=False)
+    variables = {"params": jax.device_get(variables["params"]),
+                 "batch_stats": jax.device_get(
+                     variables.get("batch_stats", {}))}
+    sd_init = export_reference_checkpoint("XR1Cnn", variables)
+
+    state = TrainState(step=jnp.asarray(0, jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables["batch_stats"],
+                       opt_state=tx.init(variables["params"]))
+
+    @jax.jit
+    def train_step(state, xb, yb):
+        def loss_of(params):
+            out, mut = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                xb, train=True, mutable=["batch_stats"])
+            loss = loss_fn(out["main"], yb)
+            return loss, mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = jax.tree_util.tree_map(lambda p, u: p + u,
+                                            state.params, updates)
+        return TrainState(step=state.step + 1, params=new_params,
+                          batch_stats=new_stats, opt_state=new_opt), loss
+
+    @jax.jit
+    def predict_step(params, batch_stats, xb):
+        out = model.apply({"params": params, "batch_stats": batch_stats},
+                          xb, train=False)
+        return jax.nn.softmax(out["main"], axis=-1)[:, 1]
+
+    def predict(x):
+        outs = [np.asarray(predict_step(state.params, state.batch_stats,
+                                        jnp.asarray(x[i:i + BATCH])))
+                for i in range(0, len(x), BATCH)]
+        return np.concatenate(outs)
+
+    losses, val_aucs = [], []
+    with jax.default_matmul_precision("highest"):
+        for epoch in range(EPOCHS):
+            perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
+            for s in range(steps):
+                idx = perm[s * BATCH:(s + 1) * BATCH]
+                state, loss = train_step(state, jnp.asarray(x_tr[idx]),
+                                         jnp.asarray(y_tr[idx]))
+                losses.append(float(loss))
+            val_aucs.append(auroc(y_va, predict(x_va)))
+        test_auc = auroc(y_te, predict(x_te))
+    return losses, val_aucs, test_auc, sd_init
+
+
+def main():
+    train, val, test = make_data()
+    t0 = time.time()
+    ours_losses, ours_val, ours_test, sd_init = run_ours(train, val, test)
+    t_ours = time.time() - t0
+    t0 = time.time()
+    ref_losses, ref_val, ref_test = run_reference(train, val, test, sd_init)
+    t_ref = time.time() - t0
+
+    ld = np.abs(np.asarray(ours_losses) - np.asarray(ref_losses))
+    vd = np.abs(np.asarray(ours_val) - np.asarray(ref_val))
+    print(json.dumps({
+        "epochs": EPOCHS,
+        "steps": len(ours_losses),
+        "loss_absdiff_first10_max": round(float(ld[:10].max()), 6),
+        "loss_absdiff_overall_max": round(float(ld.max()), 6),
+        "loss_absdiff_final_epoch_mean": round(
+            float(ld[-(N_TRAIN // BATCH):].mean()), 6),
+        "val_auc_ref_trajectory": [round(float(v), 4) for v in ref_val],
+        "val_auc_ours_trajectory": [round(float(v), 4) for v in ours_val],
+        "val_auc_absdiff_max": round(float(vd.max()), 4),
+        "test_auc_ref": round(float(ref_test), 4),
+        "test_auc_ours": round(float(ours_test), 4),
+        "test_auc_absdiff": round(float(abs(ours_test - ref_test)), 4),
+        "sec_ours": round(t_ours, 1), "sec_ref": round(t_ref, 1),
+    }, indent=2))
+
+
+if __name__ == "__main__":
+    main()
