@@ -23,7 +23,7 @@ import numpy as np
 import os
 
 REF_BASELINE_KNEES_PER_SEC = 25.6
-BATCH = int(os.environ.get("OAPROG_BENCH_BATCH", 16))
+BATCH = int(os.environ.get("OAPROG_BENCH_BATCH", 64))
 N_WARMUP = int(os.environ.get("OAPROG_BENCH_WARMUP", 2))
 N_ITERS = int(os.environ.get("OAPROG_BENCH_ITERS", 10))
 
@@ -61,9 +61,12 @@ def main():
     preproc = make_preprocess_fn(modals, model_cfg["downscale"], train=False)
 
     rng = np.random.RandomState(0)
+    # XR and DESS arrive as uint8 (the prepared trees store uint8 and the
+    # host pipeline keeps them integer until device preproc — 4x less HBM
+    # traffic on the raw volumes); T2 maps are float-valued
     xs_host = (
-        rng.rand(BATCH, 1, 700, 700).astype(np.float32) * 255,
-        rng.rand(BATCH, 1, 320, 320, 128).astype(np.float32) * 255,
+        (rng.rand(BATCH, 1, 700, 700) * 255).astype(np.uint8),
+        (rng.rand(BATCH, 1, 320, 320, 128) * 255).astype(np.uint8),
         rng.rand(BATCH, 1, 320, 320, 25).astype(np.float32) * 0.1,
         rng.rand(BATCH, 1, 9).astype(np.float32),
     )
@@ -75,8 +78,13 @@ def main():
 
     def one_step(variables, xs, eps):
         # per-iteration input perturbation defeats CSE/hoisting of the
-        # repeated forward inside the scan
-        xs = tuple(x + eps.astype(x.dtype) for x in xs)
+        # repeated forward inside the scan (for integer inputs an
+        # alternating 0/1 offset; eps is i*1e-6)
+        def perturb(x):
+            if jnp.issubdtype(x.dtype, jnp.integer):
+                return x + (eps * 1e6).astype(x.dtype) % 2
+            return x + eps.astype(x.dtype)
+        xs = tuple(perturb(x) for x in xs)
         out = model.apply(variables, *preproc(xs), train=False)
         return jax.nn.softmax(out["main"], axis=-1)
 
