@@ -121,8 +121,9 @@ class ProgressionEvaluator:
             trace_ctx.__enter__()
             logger.info(f"Writing jax.profiler trace to {trace_dir}")
 
-        sum_time = 0.0
-        sum_samples = 0
+        batch_times: list = []
+        batch_valid: list = []
+        warmed_up = False
         for batch in loader.epoch(0):
             xs = _modality_xs(batch, self.modals)
             ys = batch["target"][:, 0]
@@ -145,12 +146,20 @@ class ProgressionEvaluator:
                     f"params={n_params:.3e}")
                 return {"profile_compute": dict(cost), "num_params": n_params}
 
-            t0 = time.time()
+            if profile == "time" and not warmed_up:
+                # jit compile + cache warm on the first batch, excluded
+                # from the timing (reference times steady-state batches,
+                # eval_prog_fus.py:286-294)
+                np.asarray(eval_step(params, batch_stats, xs, ys)[1])
+                warmed_up = True
+            t0 = time.perf_counter()
             loss, probs = eval_step(params, batch_stats, xs, ys)
+            # host materialization is the completion barrier (through the
+            # remote-TPU tunnel block_until_ready returns at enqueue)
             probs = np.asarray(jax.block_until_ready(probs))
             if profile == "time":
-                sum_time += time.time() - t0
-                sum_samples += int(n_valid)
+                batch_times.append(time.perf_counter() - t0)
+                batch_valid.append(int(n_valid))
 
             probs = probs[:n_valid]
             acc["exam_knee_id"].extend(batch["exam_knee_id"][:n_valid])
@@ -160,9 +169,20 @@ class ProgressionEvaluator:
 
         if trace_ctx is not None:
             trace_ctx.__exit__(None, None, None)
-        if profile == "time":
-            logger.info(f"Inference time per sample: {sum_time / sum_samples}")
-            acc["time_per_sample"] = sum_time / sum_samples
+        if profile == "time" and batch_times:
+            # per-knee latency = materialized batch wall / valid knees in
+            # the batch (padded work is charged to the real samples);
+            # p50/p95 are over batches (BASELINE.json asks for p50)
+            per_knee = (np.asarray(batch_times) /
+                        np.maximum(np.asarray(batch_valid), 1))
+            acc["time_per_sample"] = float(np.mean(per_knee))
+            acc["time_per_sample_p50"] = float(np.percentile(per_knee, 50))
+            acc["time_per_sample_p95"] = float(np.percentile(per_knee, 95))
+            logger.info(
+                f"Inference time per sample: mean={np.mean(per_knee):.6f}s "
+                f"p50={np.percentile(per_knee, 50):.6f}s "
+                f"p95={np.percentile(per_knee, 95):.6f}s "
+                f"({len(batch_times)} batches, warmup excluded)")
         return acc
 
     def ensemble_eval_foldw(self, raw_foldw: dict) -> dict:
