@@ -181,3 +181,49 @@ def plot_modality_utilization(df: pd.DataFrame, *, title: str = "", ax=None):
     ax.set_ylim(0, 100)
     ax.set_title(title)
     return ax
+
+
+def utilization_by_horizon(raw_by_target: dict[str, dict]) -> pd.DataFrame:
+    """Long-form utilization table over prediction horizons.
+
+    raw_by_target maps target name (e.g. "prog_kl_24") → explain pickle
+    dict. Rows: (timepoint, modality, percent mean, percent std) — the
+    data behind the notebook's utilization-vs-horizon lineplot
+    (Analysis_Visualization.ipynb, "Figure. Utilization" cell)."""
+    rows = []
+    for target, raw in raw_by_target.items():
+        digits = "".join(ch for ch in target if ch.isdigit())
+        timepoint = int(digits) if digits else 0
+        names = raw["modal_names"][0]
+        percent = np.asarray(raw["modal_abl_percent"]) / 100.0
+        for i, m in enumerate(names):
+            rows.append({"timepoint": timepoint, "modality": m,
+                         "percent": float(percent[:, i].mean()),
+                         "percent_std": float(percent[:, i].std())})
+    return pd.DataFrame(rows).sort_values(["modality", "timepoint"],
+                                          ignore_index=True)
+
+
+def plot_utilization_by_horizon(df: pd.DataFrame, *, title: str = "",
+                                ax=None):
+    """Relative utilization rate vs horizon, one line per modality with a
+    ±sd band (notebook's utilization figure, cell "Figure. Utilization")."""
+    import matplotlib.pyplot as plt
+
+    if ax is None:
+        _, ax = plt.subplots(figsize=(3.9, 3.4))
+    for modality, g in df.groupby("modality"):
+        g = g.sort_values("timepoint")
+        line, = ax.plot(g["timepoint"], g["percent"], marker="o",
+                        label=str(modality))
+        ax.fill_between(g["timepoint"],
+                        g["percent"] - g["percent_std"],
+                        g["percent"] + g["percent_std"],
+                        alpha=0.15, color=line.get_color())
+    ax.set_xlabel("Horizon, months")
+    ax.set_ylabel("Relative utilization rate")
+    ax.set_ylim(-0.05, 1.05)
+    ax.grid(axis="y", alpha=0.5)
+    ax.legend(title="Modality", loc="center right", fontsize=8)
+    ax.set_title(title)
+    return ax

@@ -94,15 +94,30 @@ def analyze(path_results, target=None, n_resamples=1000, n_bootstrap=1000,
     (out_dir / "permutation_tests.json").write_text(
         json.dumps(perm_results, indent=2))
 
-    # modality utilization
+    # modality utilization (+ horizon table across prog_kl_* targets of
+    # the same model/combo, the notebook's utilization-vs-horizon figure)
     util = {}
+    raw_explain_by_exp = {}
     for exp_id, paths in experiments.items():
         if paths["explain"] is None:
             continue
         raw = pickle.loads(paths["explain"].read_bytes())
+        raw_explain_by_exp[exp_id] = raw
         util[exp_id] = A.modality_utilization_summary(raw)
         util[exp_id].to_csv(out_dir / f"utilization__{exp_id}.csv",
                             index=False)
+
+    horizon_by_base: dict = {}
+    for exp_id, raw in raw_explain_by_exp.items():
+        base, _, tgt = exp_id.rpartition("__")
+        if tgt.startswith("prog_kl_"):
+            horizon_by_base.setdefault(base or exp_id, {})[tgt] = raw
+    horizon_tables = {
+        base: A.utilization_by_horizon(raws)
+        for base, raws in horizon_by_base.items() if len(raws) >= 2}
+    for base, df in horizon_tables.items():
+        df.to_csv(out_dir / f"utilization_by_horizon__{base}.csv",
+                  index=False)
 
     if with_figures:
         import matplotlib
@@ -118,6 +133,12 @@ def analyze(path_results, target=None, n_resamples=1000, n_bootstrap=1000,
             ax = A.plot_modality_utilization(df, title=exp_id)
             ax.figure.savefig(out_dir / f"utilization__{exp_id}.png",
                               dpi=150, bbox_inches="tight")
+            plt.close(ax.figure)
+        for base, df in horizon_tables.items():
+            ax = A.plot_utilization_by_horizon(df, title=base)
+            ax.figure.savefig(
+                out_dir / f"utilization_by_horizon__{base}.png",
+                dpi=150, bbox_inches="tight")
             plt.close(ax.figure)
 
     logger.info(f"Analysis written to {out_dir}")

@@ -63,3 +63,25 @@ def test_analyze_end_to_end(tmp_path):
 
 def test_analyze_empty_dir(tmp_path):
     assert analyze(tmp_path, with_figures=False) == {}
+
+
+def test_analyze_utilization_by_horizon(tmp_path):
+    """Same combo across prog_kl_* horizons → utilization-vs-horizon table
+    + figure (Analysis_Visualization.ipynb 'Figure. Utilization')."""
+    results = tmp_path / "results"
+    for tgt, seed in [("prog_kl_12", 1), ("prog_kl_24", 2),
+                      ("prog_kl_48", 3)]:
+        _make_exp(results, f"xr1mr2c1_cnn_trf__{tgt}", 0.5, seed=seed,
+                  with_explain=True)
+
+    out = analyze(results, target=None, n_resamples=50, n_bootstrap=20,
+                  with_figures=True)
+    out_dir = out["out_dir"]
+    csv = out_dir / "utilization_by_horizon__xr1mr2c1_cnn_trf.csv"
+    png = out_dir / "utilization_by_horizon__xr1mr2c1_cnn_trf.png"
+    assert csv.exists() and png.exists()
+    import pandas as pd
+    df = pd.read_csv(csv)
+    assert set(df["timepoint"]) == {12, 24, 48}
+    assert set(df["modality"]) == {"xr_pa", "sag_3d_dess"}
+    assert ((df["percent"] >= 0) & (df["percent"] <= 1)).all()
