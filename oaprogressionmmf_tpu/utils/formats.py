@@ -52,8 +52,15 @@ def read_nifti(fname_in, preserve_dtype: bool = False):
     scaling is present (uint8/uint16 volumes stay small for host→device
     transfer).
     """
-    with _open_maybe_gz(fname_in, "rb") as f:
-        raw = f.read()
+    raw = None
+    if str(fname_in).endswith(".gz"):
+        # native single-call inflate (GIL-free, no intermediate copies);
+        # None → fall back to the Python codec
+        from .native_io import inflate_gz
+        raw = inflate_gz(fname_in)
+    if raw is None:
+        with _open_maybe_gz(fname_in, "rb") as f:
+            raw = f.read()
 
     hdr = raw[:_HDR_SIZE]
     sizeof_hdr = struct.unpack_from("<i", hdr, 0)[0]
