@@ -24,6 +24,10 @@ CHECKPOINT_FILES = {
     "resnet34": "resnet34-333f7ec4.pth",
     "resnet50": "resnet50-19c8e357.pth",
     "resnext50_32x4d": "resnext50_32x4d-7cdf4587.pth",
+    "squeezenet1_0": "squeezenet1_0-a815701f.pth",
+    "vgg16": "vgg16-397923af.pth",
+    "densenet161": "densenet161-8d451a50.pth",
+    "inception_v3": "inception_v3_google-1a9a5a14.pth",
 }
 
 
@@ -45,11 +49,21 @@ def find_checkpoint(arch: str) -> Path | None:
     return None
 
 
+def _converter_for(arch: str):
+    from ..models import encoders
+    from ..models.resnet import convert_torch_resnet_state
+
+    return {
+        "squeezenet1_0": encoders.convert_torch_squeezenet_state,
+        "vgg16": encoders.convert_torch_vgg_state,
+        "densenet161": encoders.convert_torch_densenet_state,
+        "inception_v3": encoders.convert_torch_inception_state,
+    }.get(arch, convert_torch_resnet_state)
+
+
 def load_imagenet_fe_params(arch: str, path=None):
     """→ (flax params, batch_stats) or None when no weights are available."""
     import torch
-
-    from ..models.resnet import convert_torch_resnet_state
 
     path = Path(path) if path else find_checkpoint(arch)
     if path is None or not Path(path).exists():
@@ -61,7 +75,7 @@ def load_imagenet_fe_params(arch: str, path=None):
     if hasattr(sd, "state_dict"):
         sd = sd.state_dict()
     logger.info(f"Loaded ImageNet weights for {arch} from {path}")
-    return convert_torch_resnet_state(sd)
+    return _converter_for(arch)(sd)
 
 
 # model family → (FE param-subtree name, config path to the fe subtree)
@@ -102,6 +116,10 @@ def apply_pretrained_fes(model_cfg: dict, params: dict, batch_stats: dict):
             logger.warning(f"FE subtree {subtree} not in params; skipped")
             continue
         params[subtree] = fe_params
-        batch_stats[subtree] = fe_stats
+        if fe_stats or subtree in batch_stats:
+            # BN-free encoders (squeezenet/vgg) have no stats subtree —
+            # don't introduce one (would change the variable-tree structure
+            # checkpoints are restored against)
+            batch_stats[subtree] = fe_stats
         n += 1
     return params, batch_stats, n
