@@ -125,7 +125,9 @@ class _Runtime:
                                                       **kwargs)
             self.plateau_cfg = None
 
-        self.preproc_train = make_preprocess_fn(modals, downscale, train=True)
+        self.preproc_train = make_preprocess_fn(
+            modals, downscale, train=True,
+            augment_full_res=config.training.get("augment_full_res", None))
         self.preproc_eval = make_preprocess_fn(modals, downscale, train=False)
 
         model, tx, loss_fn = self.model, self.tx, self.loss_fn
@@ -195,7 +197,8 @@ def _shared_runtime(config, modals, downscale, steps_per_epoch,
     return _RUNTIME_CACHE[key]
 
 
-def make_preprocess_fn(modals, downscale, train: bool):
+def make_preprocess_fn(modals, downscale, train: bool,
+                       augment_full_res: bool | None = None):
     """Per-batch device preprocessing for all modalities, jit-fusable.
 
     Eval path exploits that unit-range and normalization are affine while
@@ -204,9 +207,23 @@ def make_preprocess_fn(modals, downscale, train: bool):
     affine correction is applied to the small tensor — two fewer full
     passes over the pre-downscale volume, numerically identical up to f32
     reassociation.
+
+    Train path: by default the stochastic augmentation (rotate/gamma) runs
+    AFTER the downscale — the rotation's bilinear gathers on the full-res
+    volume dominate the whole train step otherwise (measured ~585 ms of a
+    1236 ms flagship batch-16 step; 8× fewer voxels after downscale). The
+    reference augments at full resolution and then downscales inside the
+    model; set ``augment_full_res=True`` (or env OAPROG_AUGMENT_FULL_RES=1,
+    or config ``training.augment_full_res``) for reference-exact ordering —
+    the two orders differ only in resampling interpolation order, not in
+    augmentation semantics.
     """
+    import os
+
     from ..ops.preproc import MODALITY_STATS
 
+    if augment_full_res is None:
+        augment_full_res = bool(os.environ.get("OAPROG_AUGMENT_FULL_RES"))
     aug_fns = [make_augment_fn(m) if train else None for m in modals]
 
     def preprocess(xs: tuple, key=None) -> tuple:
@@ -218,9 +235,14 @@ def make_preprocess_fn(modals, downscale, train: bool):
             if train:
                 keys = jax.random.split(jax.random.fold_in(key, i),
                                         x.shape[0])
-                x = jax.vmap(aug_fns[i])(x, keys)
-                if downscale:
-                    x = interpolate(x, tuple(downscale[i]))
+                if downscale and not augment_full_res:
+                    x = interpolate(x.astype(jnp.float32),
+                                    tuple(downscale[i]))
+                    x = jax.vmap(aug_fns[i])(x, keys)
+                else:
+                    x = jax.vmap(aug_fns[i])(x, keys)
+                    if downscale:
+                        x = interpolate(x, tuple(downscale[i]))
             else:
                 red_axes = tuple(range(1, x.ndim))
                 xf = x.astype(jnp.float32)
