@@ -46,7 +46,7 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
-                 return_attn: bool = False):
+                 return_attn: bool = False, mask=None):
         b, n, d = x.shape
         h = self.heads
         scale = self.dim ** -0.5  # full-width scale (reference parity)
@@ -56,7 +56,12 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, n, 3, h, d // h)
         q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))
 
-        if return_attn:
+        if mask is not None:
+            # reference semantics (_core_trf.py:172-177): pairwise
+            # outer-product token mask, excluded scores → −inf
+            pair = mask[:, None, :] & mask[:, :, None]
+            out, attn = attention_reference(q, k, v, scale, pair_mask=pair)
+        elif return_attn:
             out, attn = attention_reference(q, k, v, scale)
         else:
             out = flash_attention(q, k, v, scale=scale)
@@ -78,14 +83,15 @@ class Transformer(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
-                 return_attn: bool = False):
+                 return_attn: bool = False, mask=None):
         attentions = []
         for d in range(self.depth):
             o = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"prenorm_0_{d}")(x)
             o, attn = Attention(self.dim, self.heads, self.dropout,
                                 dtype=self.dtype, name=f"attn_{d}")(
-                o, deterministic=deterministic, return_attn=return_attn)
+                o, deterministic=deterministic, return_attn=return_attn,
+                mask=mask)
             attentions.append(attn)
             x = o + x
             ff = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
@@ -114,13 +120,20 @@ class FeaT(nn.Module):
 
     @nn.compact
     def __call__(self, features, deterministic: bool = True,
-                 return_attn: bool = False):
+                 return_attn: bool = False, mask=None):
         """features: (B, num_patches, patch_dim) → (outputs, states, attns).
 
         outputs: (B, num_outputs, num_classes); states: (B, tokens, emb_dim).
+        ``mask``: optional (B, num_patches) boolean token mask — CLS tokens
+        are always attended (reference pads the mask with True,
+        _core_trf.py:172-173).
         """
         b = features.shape[0]
         n_cls = self.num_cls_tokens if self.with_cls else 0
+        if mask is not None and n_cls:
+            mask = jnp.concatenate(
+                [jnp.ones((b, n_cls), dtype=bool), mask.astype(bool)],
+                axis=1)
 
         x = nn.Dense(self.emb_dim, dtype=self.dtype,
                      name="patch_to_embedding")(features)
@@ -139,7 +152,8 @@ class FeaT(nn.Module):
         states, attentions = Transformer(
             self.emb_dim, self.depth, self.heads, self.mlp_dim,
             self.mlp_dropout, dtype=self.dtype, name="transformer")(
-            x, deterministic=deterministic, return_attn=return_attn)
+            x, deterministic=deterministic, return_attn=return_attn,
+            mask=mask)
 
         outputs = []
         for i in range(self.num_outputs):

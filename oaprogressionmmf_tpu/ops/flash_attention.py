@@ -30,11 +30,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def attention_reference(q, k, v, scale):
-    """(B, H, N, D) q/k/v → (out, attn). XLA path, returns attention maps."""
+def attention_reference(q, k, v, scale, pair_mask=None):
+    """(B, H, N, D) q/k/v → (out, attn). XLA path, returns attention maps.
+
+    ``pair_mask``: optional (B, N, N) boolean; False positions are
+    excluded (score −inf), matching the reference's ``masked_fill_``
+    (koafusion/models/_core_trf.py:172-177)."""
     s = jnp.einsum("bhid,bhjd->bhij", q, k,
                    preferred_element_type=jnp.float32,
                    precision=jax.lax.Precision.HIGHEST) * scale
+    if pair_mask is not None:
+        s = jnp.where(pair_mask[:, None, :, :], s, -jnp.inf)
     attn = jax.nn.softmax(s, axis=-1)
     out = jnp.einsum("bhij,bhjd->bhid", attn.astype(v.dtype), v,
                      precision=jax.lax.Precision.HIGHEST)

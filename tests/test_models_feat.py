@@ -128,3 +128,36 @@ def test_feat_multi_output_heads():
     variables = model.init(jax.random.key(0), x)
     out, _, _ = model.apply(variables, x, deterministic=True)
     assert out.shape == (2, 2, 3)
+
+
+def test_feat_attention_mask_excludes_tokens():
+    """Optional token mask (reference _core_trf.py:172-177 semantics):
+    masked tokens must not influence the CLS output; CLS stays attended."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from oaprogressionmmf_tpu.models.feat import FeaT
+
+    feat = FeaT(num_patches=6, patch_dim=8, emb_dim=8, depth=1, heads=2,
+                mlp_dim=16, num_classes=2, emb_dropout=0.0, with_cls=True,
+                mlp_dropout=0.0)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 6, 8), jnp.float32)
+    variables = feat.init(jax.random.key(0), x, deterministic=True)
+    mask = jnp.asarray([[True, True, True, False, False, False]] * 2)
+
+    out_a, _, attn_a = feat.apply(variables, x, deterministic=True,
+                                  return_attn=True, mask=mask)
+    # garbage in the masked tokens must not change the CLS logits
+    x_b = x.at[:, 3:, :].set(1e3)
+    out_b, _, _ = feat.apply(variables, x_b, deterministic=True,
+                             return_attn=True, mask=mask)
+    np.testing.assert_allclose(np.asarray(out_a), np.asarray(out_b),
+                               atol=1e-5)
+    # attention rows of unmasked queries put zero weight on masked keys
+    a = np.asarray(attn_a[0])          # (B, H, 7, 7) incl CLS at 0
+    np.testing.assert_allclose(a[:, :, 0, 4:], 0.0, atol=1e-7)
+    # without the mask the same perturbation DOES change the output
+    out_c, _, _ = feat.apply(variables, x_b, deterministic=True,
+                             return_attn=True)
+    assert np.abs(np.asarray(out_c) - np.asarray(out_a)).max() > 1e-3
