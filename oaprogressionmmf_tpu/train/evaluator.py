@@ -29,7 +29,7 @@ import numpy as np
 import pandas as pd
 from scipy.special import softmax
 
-from ..utils.checkpoint import CheckpointHandler, load_ckpt
+from ..utils.checkpoint import load_ckpt, make_checkpoint_handler
 from ..utils.metrics import calc_metrics_v2
 from .trainer import ProgressionTrainer, make_preprocess_fn, _modality_xs
 
@@ -95,7 +95,9 @@ class ProgressionEvaluator:
 
     def _restore_fold(self, fold_idx: int):
         path_fold = self.path_weights / "prog" / f"fold_{fold_idx}"
-        handler = CheckpointHandler(path_fold)
+        handler = make_checkpoint_handler(
+            path_fold,
+            backend=self.config.training.get("ckpt_backend", "msgpack"))
         path_ckpt = handler.get_last_ckpt()
         if path_ckpt is None:
             raise FileNotFoundError(f"No checkpoint in {path_fold}")

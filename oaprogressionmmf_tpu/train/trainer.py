@@ -26,7 +26,7 @@ from ..ops.losses import dict_losses
 from ..ops.preproc import make_augment_fn
 from ..ops.resize import interpolate
 from ..parallel.mesh import create_mesh
-from ..utils.checkpoint import CheckpointHandler, load_ckpt
+from ..utils.checkpoint import load_ckpt, make_checkpoint_handler
 from ..utils.metrics import calc_metrics_v2
 from .state import TrainState, state_to_serializable
 
@@ -322,7 +322,9 @@ class ProgressionTrainer:
         self.path_weights_fold.mkdir(parents=True, exist_ok=True)
         self.path_logs_fold = root / "logs_train" / f"fold_{fold_idx}"
         self.tb = MetricsLogger(self.path_logs_fold)
-        self.ckpt = CheckpointHandler(self.path_weights_fold)
+        self.ckpt = make_checkpoint_handler(
+            self.path_weights_fold,
+            backend=config.training.get("ckpt_backend", "msgpack"))
 
         self.downscale = (config.model.get("downscale") or None)
         if self.downscale:

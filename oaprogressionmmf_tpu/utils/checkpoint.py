@@ -69,13 +69,78 @@ class CheckpointHandler:
         return path_full
 
 
+class OrbaxCheckpointHandler(CheckpointHandler):
+    """Orbax-backed store: same addressing scheme, directory-per-epoch.
+
+    Multi-host option (SURVEY §5.4 hardening): orbax writes atomically
+    (tmp dir + rename), supports distributed/sharded arrays, and restores
+    with per-leaf laziness. Select with ``training.ckpt_backend=orbax``;
+    the default msgpack backend stays reference-shaped single-file.
+    """
+
+    def __init__(self, path_root, fname_pattern=("{model_name}__"
+                                                 "fold_{fold_idx}__"
+                                                 "epoch_{epoch_idx:>03d}"
+                                                 ".orbax"),
+                 num_saved=1):
+        super().__init__(path_root, fname_pattern=fname_pattern,
+                         num_saved=num_saved)
+
+    def _remove_excessive_ckpts(self):
+        import shutil
+
+        while len(self._all_ckpts) > self.num_saved:
+            try:
+                shutil.rmtree(self._all_ckpts[0])
+                logger.info(f"Removed ckpt: {self._all_ckpts[0]}")
+                self._all_ckpts = self._all_ckpts[1:]
+            except OSError:
+                logger.error(f"Cannot remove {self._all_ckpts[0]}")
+                break
+
+    def save_new_ckpt(self, state, model_name, fold_idx, epoch_idx):
+        import orbax.checkpoint as ocp
+
+        fname = self.fname_pattern.format(model_name=model_name,
+                                          fold_idx=fold_idx,
+                                          epoch_idx=epoch_idx)
+        path_full = Path(self.path_root, fname).resolve()
+        payload = jax.tree_util.tree_map(np.asarray, jax.device_get(state))
+        ckptr = ocp.PyTreeCheckpointer()
+        ckptr.save(path_full, payload, force=True)
+        if path_full not in self._all_ckpts:
+            self._all_ckpts.append(path_full)
+        self._remove_excessive_ckpts()
+        return path_full
+
+
+def make_checkpoint_handler(path_root, backend: str = "msgpack",
+                            num_saved: int = 1) -> CheckpointHandler:
+    """Backend-selecting factory (``training.ckpt_backend``)."""
+    if backend == "orbax":
+        return OrbaxCheckpointHandler(path_root, num_saved=num_saved)
+    if backend in ("msgpack", None, ""):
+        return CheckpointHandler(path_root, num_saved=num_saved)
+    raise ValueError(f"Unknown checkpoint backend: {backend}")
+
+
 def load_ckpt(path, target=None):
-    """Restore a checkpoint written by :class:`CheckpointHandler`.
+    """Restore a checkpoint written by either handler.
 
     With ``target`` (a pytree of matching structure), arrays are restored
     into its exact structure; without it, a nested dict is returned.
+    Orbax checkpoints are directories; msgpack checkpoints are files.
     """
-    data = Path(path).read_bytes()
+    path = Path(path)
+    if path.is_dir():
+        import orbax.checkpoint as ocp
+
+        ckptr = ocp.PyTreeCheckpointer()
+        restored = ckptr.restore(path.resolve())
+        if target is not None:
+            return serialization.from_state_dict(target, restored)
+        return restored
+    data = path.read_bytes()
     if target is not None:
         return serialization.from_bytes(target, data)
     return serialization.msgpack_restore(data)

@@ -49,3 +49,46 @@ def test_existing_ckpts_discovered(tmp_path, state):
 def test_missing_dir_raises(tmp_path):
     with pytest.raises(ValueError):
         CheckpointHandler(tmp_path / "nope")
+
+
+def test_orbax_backend_roundtrip(tmp_path):
+    """training.ckpt_backend=orbax: directory-per-epoch, rolling cleanup,
+    exact restore into the target structure (SURVEY §5.4 hardening)."""
+    import numpy as np
+    from oaprogressionmmf_tpu.utils.checkpoint import (
+        load_ckpt, make_checkpoint_handler)
+
+    h = make_checkpoint_handler(tmp_path, backend="orbax")
+    state = {"step": np.asarray(3, np.int32),
+             "params": {"w": np.arange(6, np.float32).reshape(2, 3)
+                        if False else
+                        np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "batch_stats": {},
+             "opt_state": {"m": np.ones(4, np.float32)}}
+    p1 = h.save_new_ckpt(state, model_name="XR1Cnn", fold_idx=0,
+                         epoch_idx=1)
+    assert p1.is_dir() and p1.name.endswith(".orbax")
+
+    state2 = dict(state, step=np.asarray(5, np.int32))
+    p2 = h.save_new_ckpt(state2, model_name="XR1Cnn", fold_idx=0,
+                         epoch_idx=2)
+    assert not p1.exists()          # rolling num_saved=1
+
+    h2 = make_checkpoint_handler(tmp_path, backend="orbax")
+    last = h2.get_last_ckpt()
+    assert last == p2
+    target = {"step": np.zeros((), np.int32),
+              "params": {"w": np.zeros((2, 3), np.float32)},
+              "batch_stats": {},
+              "opt_state": {"m": np.zeros(4, np.float32)}}
+    restored = load_ckpt(last, target=target)
+    assert int(restored["step"]) == 5
+    np.testing.assert_array_equal(restored["params"]["w"],
+                                  state["params"]["w"])
+
+
+def test_checkpoint_backend_factory_rejects_unknown(tmp_path):
+    import pytest
+    from oaprogressionmmf_tpu.utils.checkpoint import make_checkpoint_handler
+    with pytest.raises(ValueError, match="backend"):
+        make_checkpoint_handler(tmp_path, backend="nope")
