@@ -153,3 +153,78 @@ class BatchLoader:
                 yield batch
         finally:
             stop.set()
+
+
+class _OrderedView:
+    """Picklable grain RandomAccessDataSource: record k = dataset sample
+    order[k] decoded for `epoch` (crop/flip RNG replay preserved)."""
+
+    def __init__(self, dataset, order, epoch: int):
+        self._dataset = dataset
+        self._order = np.asarray(order)
+        self._epoch = int(epoch)
+
+    def __len__(self):
+        return len(self._order)
+
+    def __getitem__(self, k):
+        return self._dataset.get(int(self._order[k]), epoch=self._epoch)
+
+
+class GrainBatchLoader(BatchLoader):
+    """grain-backed loader: multi-PROCESS decode + deterministic order.
+
+    Same batches as :class:`BatchLoader` (same samplers, assembly, padding,
+    sharded device_put) but samples are decoded by grain worker processes —
+    host decode scales across cores without the GIL, and grain's
+    deterministic index pipeline extends to multi-host sharding
+    (grain.ShardOptions) when each host reads a disjoint index range.
+    Select with config ``loader_backend: grain``.
+    """
+
+    def epoch(self, epoch_idx: int = 0):
+        import grain.python as grain
+
+        order = self.sampler.epoch_indices(epoch_idx)
+        nb = self.batches_per_epoch()
+        n_used = (nb * self.batch_size if self.drop_last else len(order))
+        source = _OrderedView(self.dataset, order[:n_used], epoch_idx)
+        index_sampler = grain.IndexSampler(
+            num_records=len(source), shard_options=grain.NoSharding(),
+            shuffle=False, num_epochs=1)
+        loader = grain.DataLoader(
+            data_source=source, sampler=index_sampler, operations=[],
+            worker_count=self.num_workers,
+            read_options=grain.ReadOptions(
+                num_threads=1, prefetch_buffer_size=self.prefetch *
+                self.batch_size))
+
+        items: list = []
+        emitted = 0
+        for record in loader:
+            items.append(record)
+            if len(items) == self.batch_size:
+                yield self._finalize(items)
+                emitted += 1
+                items = []
+        if items and not self.drop_last and emitted < nb:
+            yield self._finalize(items)
+
+    def _finalize(self, items):
+        batch = self._assemble(items)
+        strings = {k: v for k, v in batch.items()
+                   if not isinstance(v, np.ndarray)}
+        arrays = {k: v for k, v in batch.items()
+                  if isinstance(v, np.ndarray)}
+        if self.mesh is not None:
+            arrays = shard_batch_pytree(self.mesh, arrays)
+        return {**arrays, **strings}
+
+
+def make_batch_loader(backend: str, *args, **kwargs) -> BatchLoader:
+    """Loader factory: ``threads`` (default) or ``grain``."""
+    if backend == "grain":
+        return GrainBatchLoader(*args, **kwargs)
+    if backend in ("threads", None, ""):
+        return BatchLoader(*args, **kwargs)
+    raise ValueError(f"Unknown loader backend: {backend}")

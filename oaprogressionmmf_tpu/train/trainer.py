@@ -263,8 +263,8 @@ class ProgressionTrainer:
 
     def __init__(self, config, fold_idx: int, *, mesh=None,
                  compute_dtype=jnp.float32):
-        from ..data.pipeline import BatchLoader, SequentialSampler, \
-            WeightedSampler
+        from ..data.pipeline import SequentialSampler, WeightedSampler, \
+            make_batch_loader
         from ..data.provider import prepare_datasets
 
         self.config = config
@@ -298,21 +298,22 @@ class ProgressionTrainer:
             raise ValueError(f"Invalid sampler {config.training.sampler}")
 
         nw = int(config.get("num_workers", 8))
+        lb = config.get("loader_backend", "threads")
         self.loaders = {
-            "train": BatchLoader(train_ds, sampler,
-                                 int(config.training.batch_size),
-                                 drop_last=True, mesh=self.mesh,
-                                 num_workers=nw),
-            "val": BatchLoader(self.datasets["val"],
-                               SequentialSampler(len(self.datasets["val"])),
-                               int(config.validation.batch_size),
-                               drop_last=True, mesh=self.mesh,
-                               num_workers=nw),
-            "test": BatchLoader(self.datasets["test"],
-                                SequentialSampler(len(self.datasets["test"])),
-                                int(config.testing.batch_size),
-                                drop_last=False, pad_to_batch=True,
-                                mesh=self.mesh, num_workers=nw),
+            "train": make_batch_loader(
+                lb, train_ds, sampler, int(config.training.batch_size),
+                drop_last=True, mesh=self.mesh, num_workers=nw),
+            "val": make_batch_loader(
+                lb, self.datasets["val"],
+                SequentialSampler(len(self.datasets["val"])),
+                int(config.validation.batch_size),
+                drop_last=True, mesh=self.mesh, num_workers=nw),
+            "test": make_batch_loader(
+                lb, self.datasets["test"],
+                SequentialSampler(len(self.datasets["test"])),
+                int(config.testing.batch_size),
+                drop_last=False, pad_to_batch=True,
+                mesh=self.mesh, num_workers=nw),
         }
 
         # experiment dirs + checkpoint handler (reference layout:

@@ -210,3 +210,40 @@ def test_prepare_datasets_frac_classw_and_exclusions(synth_root, tmp_path):
     assert (out2["train_df"][("-", "P01KSURG-")] != 1).all()
     # test subset untouched by trainval exclusions
     assert len(out2["test_df"]) == len(out["test_df"])
+
+
+def test_grain_loader_matches_thread_loader(synth_root):
+    """GrainBatchLoader yields byte-identical batches to BatchLoader
+    (same samplers/assembly) with grain's deterministic index pipeline."""
+    from oaprogressionmmf_tpu.data.pipeline import (GrainBatchLoader,
+                                                    make_batch_loader)
+
+    root, _ = synth_root
+    df = index_from_path_oai(root, ["clin", "xr_pa"], ignore_cache=True)
+    df[("-", "target")] = df[("-", "prog_kl_48")]
+    ds = DatasetOAI3d(df, ["xr_pa"], crop_sizes=[[64, 64]])
+    n = len(ds)
+
+    ref = BatchLoader(ds, SequentialSampler(n), batch_size=5,
+                      drop_last=False, pad_to_batch=True, num_workers=2)
+    # worker_count=0 → in-process decode (single-core test host)
+    got = GrainBatchLoader(ds, SequentialSampler(n), batch_size=5,
+                           drop_last=False, pad_to_batch=True,
+                           num_workers=0)
+    bs_ref = list(ref.epoch(0))
+    bs_got = list(got.epoch(0))
+    assert len(bs_ref) == len(bs_got)
+    for a, b in zip(bs_ref, bs_got):
+        assert a["exam_knee_id"] == b["exam_knee_id"]
+        assert a["_n_valid"] == b["_n_valid"]
+        np.testing.assert_array_equal(a["image__xr_pa"],
+                                      b["image__xr_pa"])
+
+    # weighted sampling replays identically through grain too
+    targets = df[("-", "target")].values.astype(int)
+    wref = BatchLoader(ds, WeightedSampler(targets, seed=3), batch_size=4,
+                       drop_last=True, num_workers=2)
+    wgot = make_batch_loader("grain", ds, WeightedSampler(targets, seed=3),
+                             batch_size=4, drop_last=True, num_workers=0)
+    for a, b in zip(wref.epoch(1), wgot.epoch(1)):
+        assert a["exam_knee_id"] == b["exam_knee_id"]
