@@ -85,3 +85,36 @@ def test_graft_entry_single_chip():
     assert out.shape == (4, 2)
     np.testing.assert_allclose(np.asarray(out.sum(-1), np.float32), 1.0,
                                atol=1e-2)
+
+
+def test_tp_param_specs_rules():
+    """FeaT kernels get column/row-parallel specs; everything else
+    replicated (parallel/tp.py)."""
+    from jax.sharding import PartitionSpec as P
+
+    from oaprogressionmmf_tpu.parallel.tp import tp_param_specs
+
+    params = {
+        "agg": {"transformer": {
+            "attn_0": {"to_qkv": {"kernel": 1},
+                       "to_out": {"kernel": 1, "bias": 1}},
+            "ff_0": {"Dense_0": {"kernel": 1, "bias": 1},
+                     "Dense_1": {"kernel": 1, "bias": 1}},
+        },
+            "patch_to_embedding": {"kernel": 1, "bias": 1},
+            "mlp_head0_dense0": {"kernel": 1, "bias": 1},
+            "mlp_head0_dense1": {"kernel": 1, "bias": 1}},
+        "fe": {"conv1": {"kernel": 1}},
+    }
+    specs = tp_param_specs(params)
+    t = specs["agg"]["transformer"]
+    assert t["attn_0"]["to_qkv"]["kernel"] == P(None, "model")
+    assert t["attn_0"]["to_out"]["kernel"] == P("model", None)
+    assert t["attn_0"]["to_out"]["bias"] == P()
+    assert t["ff_0"]["Dense_0"]["kernel"] == P(None, "model")
+    assert t["ff_0"]["Dense_0"]["bias"] == P("model")
+    assert t["ff_0"]["Dense_1"]["kernel"] == P("model", None)
+    assert specs["agg"]["mlp_head0_dense0"]["kernel"] == P(None, "model")
+    assert specs["agg"]["mlp_head0_dense1"]["kernel"] == P("model", None)
+    assert specs["agg"]["patch_to_embedding"]["kernel"] == P()
+    assert specs["fe"]["conv1"]["kernel"] == P()
