@@ -93,8 +93,11 @@ def main():
     def aug_chain(xs, key):
         def body(acc, i):
             out = preproc_train(xs, jax.random.fold_in(key, i))
-            return acc + jnp.sum(out[1].astype(jnp.float32)[:, :1, :4, :4]
-                                 ), None
+            # reduce over EVERY output fully — a partial reduction lets
+            # XLA slice through the gathers / DCE whole modalities and
+            # report fantasy timings (cost us hours in round 2)
+            s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+            return acc + s, None
         acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
                               jnp.arange(iters))
         return acc
