@@ -35,6 +35,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 REF = Path("/root/reference/koafusion")
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+FAMILY = sys.argv[2] if len(sys.argv) > 2 else "xr1"   # xr1 | mr1
 BATCH = 8
 N_TRAIN, N_VAL, N_TEST = 160, 64, 64
 LR_INIT, WEIGHT_DECAY = 1e-4, 1e-4
@@ -67,21 +68,27 @@ def _ref_module(dotted: str):
 
 
 def make_data():
-    """Synthetic XR images with a planted label signal (learnable AUROC)."""
+    """Synthetic images/volumes with a planted label signal."""
     rng = np.random.RandomState(7)
     n = N_TRAIN + N_VAL + N_TEST
     y = rng.randint(0, 2, n).astype(np.int64)
-    x = rng.rand(n, 1, 64, 64).astype(np.float32) * 255.0
+    shape = (n, 1, 64, 64) if FAMILY == "xr1" else (n, 1, 64, 64, 3)
+    x = rng.rand(*shape).astype(np.float32) * 255.0
     # planted signal: a soft bright blob whose intensity tracks the label
     yy, xx = np.mgrid[0:64, 0:64]
     blob = np.exp(-(((yy - 32) ** 2 + (xx - 32) ** 2) / (2 * 10.0 ** 2)))
-    x += (30.0 + 25.0 * y)[:, None, None, None] * blob[None, None]
+    blob = blob[None, None] if FAMILY == "xr1" else blob[None, None, :, :,
+                                                         None]
+    sig = (30.0 + 25.0 * y).reshape((n,) + (1,) * (x.ndim - 1))
+    x += sig * blob
     # host-side eval preprocessing, identical for both sides:
-    # unit-range per sample then modality normalization (xr_pa stats)
+    # unit-range per sample then modality normalization
     from oaprogressionmmf_tpu.ops.preproc import MODALITY_STATS
-    mean, std = MODALITY_STATS["xr_pa"]
-    lo = x.min(axis=(1, 2, 3), keepdims=True)
-    hi = x.max(axis=(1, 2, 3), keepdims=True)
+    modality = "xr_pa" if FAMILY == "xr1" else "sag_3d_dess"
+    mean, std = MODALITY_STATS[modality]
+    red = tuple(range(1, x.ndim))
+    lo = x.min(axis=red, keepdims=True)
+    hi = x.max(axis=red, keepdims=True)
     x = ((x - lo) / (hi - lo) - mean) / std
     sl_tr = slice(0, N_TRAIN)
     sl_va = slice(N_TRAIN, N_TRAIN + N_VAL)
@@ -89,14 +96,26 @@ def make_data():
     return (x[sl_tr], y[sl_tr]), (x[sl_va], y[sl_va]), (x[sl_te], y[sl_te])
 
 
-MODEL_CFG = {
-    "name": "XR1Cnn", "input_size": [[64, 64]], "downscale": False,
-    "input_channels": 1, "output_channels": 2, "output_type": "dict",
-    "debug": False, "restore_weights": False,
-    "fe": {"arch": "resnet18", "pretrained": False, "with_gap": True,
-           "dropout": 0.0},
-    "agg": {"hidden_size": 256, "dropout": 0.0},
+MODEL_CFGS = {
+    "xr1": {
+        "name": "XR1Cnn", "input_size": [[64, 64]], "downscale": False,
+        "input_channels": 1, "output_channels": 2, "output_type": "dict",
+        "debug": False, "restore_weights": False,
+        "fe": {"arch": "resnet18", "pretrained": False, "with_gap": True,
+               "dropout": 0.0},
+        "agg": {"hidden_size": 256, "dropout": 0.0},
+    },
+    "mr1": {
+        "name": "MR1CnnTrf", "input_size": [[64, 64, 3]],
+        "downscale": False, "input_channels": 1, "output_channels": 2,
+        "output_type": "dict", "debug": False, "restore_weights": False,
+        "fe": {"arch": "resnet18", "pretrained": False, "with_gap": True,
+               "dropout": 0.0, "dims_view": "rc"},
+        "agg": {"num_slices": 3, "depth": 2, "heads": 2, "emb_dropout": 0.0,
+                "mlp_dim": 64, "mlp_dropout": 0.0},
+    },
 }
+MODEL_CFG = MODEL_CFGS[FAMILY]
 
 
 def auroc(y_true, scores):
@@ -125,12 +144,15 @@ def run_reference(train, val, test, sd_init):
     fake_tv = types.ModuleType("torchvision")
     fake_tv.models = _TVModels()
     sys.modules["torchvision"] = fake_tv
-    xr1 = _ref_module("models._xr1_cnn")
     optim_mod = _ref_module("various._optimizers")
     loss_mod = _ref_module("various._losses")
+    if FAMILY == "xr1":
+        ref_cls = _ref_module("models._xr1_cnn").XR1Cnn
+    else:
+        ref_cls = _ref_module("models._mrN_cnn_trf").MR1CnnTrf
 
     from oaprogressionmmf_tpu.config import Config
-    model = xr1.XR1Cnn(config=Config(dict(MODEL_CFG)), path_weights=None)
+    model = ref_cls(config=Config(dict(MODEL_CFG)), path_weights=None)
     model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
                            for k, v in sd_init.items()})
     opt = torch.optim.Adam(model.parameters(), lr=LR_INIT,
@@ -185,7 +207,7 @@ def run_ours(train, val, test):
     (x_tr, y_tr), (x_va, y_va), (x_te, y_te) = train, val, test
     steps = N_TRAIN // BATCH
 
-    model = dict_models["XR1Cnn"](config=MODEL_CFG)
+    model = dict_models[MODEL_CFG["name"]](config=MODEL_CFG)
     loss_fn = dict_losses["FocalLoss"](num_classes=2, gamma=2.0,
                                        reduction="mean")
     lr_schedule = make_lr_schedule("CustomWarmupStaticDecayLR", SCHED,
@@ -197,7 +219,7 @@ def run_ours(train, val, test):
     variables = {"params": jax.device_get(variables["params"]),
                  "batch_stats": jax.device_get(
                      variables.get("batch_stats", {}))}
-    sd_init = export_reference_checkpoint("XR1Cnn", variables)
+    sd_init = export_reference_checkpoint(MODEL_CFG["name"], variables)
 
     state = TrainState(step=jnp.asarray(0, jnp.int32),
                        params=variables["params"],
