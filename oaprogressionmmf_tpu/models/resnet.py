@@ -158,6 +158,10 @@ class _StemConv(nn.Module):
 
     features: int = 64
     dtype: Any = jnp.float32
+    # space-to-depth form: pack 2x2 input pixels into channels and run the
+    # (zero-padded-to-8x8) kernel as a 4x4 stride-1 conv — numerically
+    # identical, larger contraction dim for the MXU
+    space_to_depth: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -171,6 +175,23 @@ class _StemConv(nn.Module):
             k = jnp.sum(k, axis=2, keepdims=True)
         elif x.shape[-1] != 3:
             raise ValueError(f"Stem expects 1 or 3 channels, got {x.shape}")
+        b, h, w, c = x.shape
+        if self.space_to_depth and h % 2 == 0 and w % 2 == 0:
+            # y[i,j] = Σ_{a,b} k[a,b]·xpad[2i+a, 2j+b] with pad 3; write
+            # a = 2α+u, b = 2β+v → 4x4 conv over the 2x2-packed input with
+            # kernel K[α,β,(u,v,c)] = k8[2α+u, 2β+v, c]
+            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
+            hp, wp = h + 6, w + 6
+            xs2d = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+            xs2d = xs2d.transpose(0, 1, 3, 2, 4, 5).reshape(
+                b, hp // 2, wp // 2, 4 * c)
+            k8 = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
+            k4 = k8.reshape(4, 2, 4, 2, c, self.features)
+            k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
+                4, 4, 4 * c, self.features)
+            return jax.lax.conv_general_dilated(
+                xs2d, k4, (1, 1), [(0, 0), (0, 0)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
         return jax.lax.conv_general_dilated(
             x, k, (2, 2), [(3, 3), (3, 3)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
@@ -194,6 +215,8 @@ class ResNetFE(nn.Module):
     # compute grouped 3x3s as block-diagonal dense convs (see
     # _GroupedConv3x3) — ~4x better MXU mapping for ResNeXt on TPU
     dense_groups: bool = True
+    # space-to-depth stem (see _StemConv); numerics-identical
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -204,7 +227,8 @@ class ResNetFE(nn.Module):
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
-        x = _StemConv(features=64, dtype=self.dtype, name="conv1")(x)
+        x = _StemConv(features=64, dtype=self.dtype,
+                      space_to_depth=self.s2d_stem, name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))

@@ -142,3 +142,19 @@ def test_batch_stats_update_in_train_mode():
     before = variables["batch_stats"]["bn1"]["mean"]
     after = mutated["batch_stats"]["bn1"]["mean"]
     assert np.abs(np.asarray(after - before)).max() > 0
+
+
+def test_s2d_stem_is_numerically_identical():
+    """Space-to-depth stem (ResNetFE.s2d_stem) computes the exact same
+    convolution as the 7x7/s2 form (measured perf-neutral on v5e for the
+    production shapes — BENCH_NOTES r2 — but exactness is guaranteed)."""
+    from oaprogressionmmf_tpu.models.resnet import _StemConv
+
+    x = jnp.asarray(np.random.RandomState(3).rand(2, 64, 64, 1),
+                    jnp.float32)
+    m0 = _StemConv(space_to_depth=False)
+    m1 = _StemConv(space_to_depth=True)
+    variables = m0.init(jax.random.key(0), x)
+    np.testing.assert_allclose(np.asarray(m0.apply(variables, x)),
+                               np.asarray(m1.apply(variables, x)),
+                               atol=2e-5)
