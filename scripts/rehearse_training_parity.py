@@ -67,33 +67,54 @@ def _ref_module(dotted: str):
     return mod
 
 
-def make_data():
-    """Synthetic images/volumes with a planted label signal."""
-    rng = np.random.RandomState(7)
-    n = N_TRAIN + N_VAL + N_TEST
-    y = rng.randint(0, 2, n).astype(np.int64)
-    shape = (n, 1, 64, 64) if FAMILY == "xr1" else (n, 1, 64, 64, 3)
+def _image_modality(rng, n, shape, y, modality):
+    """Raw image/volume with a label-tracking blob, then unit-range +
+    normalize (the eval preprocessing, identical for both sides)."""
+    from oaprogressionmmf_tpu.ops.preproc import MODALITY_STATS
+
     x = rng.rand(*shape).astype(np.float32) * 255.0
-    # planted signal: a soft bright blob whose intensity tracks the label
-    yy, xx = np.mgrid[0:64, 0:64]
-    blob = np.exp(-(((yy - 32) ** 2 + (xx - 32) ** 2) / (2 * 10.0 ** 2)))
-    blob = blob[None, None] if FAMILY == "xr1" else blob[None, None, :, :,
+    yy, xx = np.mgrid[0:shape[2], 0:shape[3]]
+    blob = np.exp(-(((yy - shape[2] // 2) ** 2 +
+                     (xx - shape[3] // 2) ** 2) / (2 * 10.0 ** 2)))
+    blob = blob[None, None] if len(shape) == 4 else blob[None, None, :, :,
                                                          None]
     sig = (30.0 + 25.0 * y).reshape((n,) + (1,) * (x.ndim - 1))
     x += sig * blob
-    # host-side eval preprocessing, identical for both sides:
-    # unit-range per sample then modality normalization
-    from oaprogressionmmf_tpu.ops.preproc import MODALITY_STATS
-    modality = "xr_pa" if FAMILY == "xr1" else "sag_3d_dess"
     mean, std = MODALITY_STATS[modality]
     red = tuple(range(1, x.ndim))
     lo = x.min(axis=red, keepdims=True)
     hi = x.max(axis=red, keepdims=True)
-    x = ((x - lo) / (hi - lo) - mean) / std
+    return ((x - lo) / (hi - lo) - mean) / std
+
+
+def make_data():
+    """Synthetic modalities with planted label signals. Returns
+    ((xs_tuple, y), ...) for train/val/test — xs has one array per model
+    input."""
+    rng = np.random.RandomState(7)
+    n = N_TRAIN + N_VAL + N_TEST
+    y = rng.randint(0, 2, n).astype(np.int64)
+    if FAMILY == "xr1":
+        xs = (_image_modality(rng, n, (n, 1, 64, 64), y, "xr_pa"),)
+    elif FAMILY == "mr1":
+        xs = (_image_modality(rng, n, (n, 1, 64, 64, 3), y, "sag_3d_dess"),)
+    else:  # flagship: xr + dess + t2 + clin
+        clin = rng.randn(n, 1, 9).astype(np.float32)
+        clin[:, 0, 0] += 0.5 * y          # weak clinical signal
+        xs = (
+            _image_modality(rng, n, (n, 1, 64, 64), y, "xr_pa"),
+            _image_modality(rng, n, (n, 1, 64, 64, 2), y, "sag_3d_dess"),
+            _image_modality(rng, n, (n, 1, 64, 64, 2), y, "sag_t2_map"),
+            clin,
+        )
     sl_tr = slice(0, N_TRAIN)
     sl_va = slice(N_TRAIN, N_TRAIN + N_VAL)
     sl_te = slice(N_TRAIN + N_VAL, n)
-    return (x[sl_tr], y[sl_tr]), (x[sl_va], y[sl_va]), (x[sl_te], y[sl_te])
+
+    def cut(sl):
+        return tuple(x[sl] for x in xs), y[sl]
+
+    return cut(sl_tr), cut(sl_va), cut(sl_te)
 
 
 MODEL_CFGS = {
@@ -113,6 +134,19 @@ MODEL_CFGS = {
                "dropout": 0.0, "dims_view": "rc"},
         "agg": {"num_slices": 3, "depth": 2, "heads": 2, "emb_dropout": 0.0,
                 "mlp_dim": 64, "mlp_dropout": 0.0},
+    },
+    "flagship": {
+        "name": "XR1MR2C1CnnTrf",
+        "input_size": [[64, 64], [64, 64, 2], [64, 64, 2], [16]],
+        "downscale": False, "input_channels": 1, "output_channels": 2,
+        "output_type": "dict", "debug": False, "restore_weights": False,
+        "fe": {"xr": {"arch": "resnet18", "pretrained": False,
+                      "with_gap": True, "dropout": 0.0},
+               "mr": {"arch": "resnet18", "pretrained": False,
+                      "with_gap": True, "dropout": 0.0},
+               "clin": {"dim_in": 9, "dim_out": 512, "dropout": 0.0}},
+        "agg": {"num_slices": [1, 2, 2, 1], "depth": 2, "heads": 2,
+                "emb_dropout": 0.0, "mlp_dim": 64, "mlp_dropout": 0.0},
     },
 }
 MODEL_CFG = MODEL_CFGS[FAMILY]
@@ -148,8 +182,10 @@ def run_reference(train, val, test, sd_init):
     loss_mod = _ref_module("various._losses")
     if FAMILY == "xr1":
         ref_cls = _ref_module("models._xr1_cnn").XR1Cnn
-    else:
+    elif FAMILY == "mr1":
         ref_cls = _ref_module("models._mrN_cnn_trf").MR1CnnTrf
+    else:
+        ref_cls = _ref_module("models._xrNmrMcP").XR1MR2C1CnnTrf
 
     from oaprogressionmmf_tpu.config import Config
     model = ref_cls(config=Config(dict(MODEL_CFG)), path_weights=None)
@@ -160,15 +196,16 @@ def run_reference(train, val, test, sd_init):
     sched = optim_mod.CustomWarmupStaticDecayLR(opt, **SCHED)
     loss_fn = loss_mod.FocalLoss(num_classes=2, gamma=2.0, reduction="mean")
 
-    (x_tr, y_tr), (x_va, y_va), (x_te, y_te) = train, val, test
+    (xs_tr, y_tr), (xs_va, y_va), (xs_te, y_te) = train, val, test
     losses, val_aucs = [], []
 
-    def predict(x):
+    def predict(xs):
         model.eval()
         outs = []
         with torch.no_grad():
-            for i in range(0, len(x), BATCH):
-                o = model(torch.from_numpy(x[i:i + BATCH]))["main"]
+            for i in range(0, len(xs[0]), BATCH):
+                xb = [torch.from_numpy(x[i:i + BATCH]) for x in xs]
+                o = model(*xb)["main"]
                 outs.append(torch.softmax(o, dim=-1)[:, 1].numpy())
         return np.concatenate(outs)
 
@@ -178,17 +215,17 @@ def run_reference(train, val, test, sd_init):
         perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
         for s in range(steps):
             idx = perm[s * BATCH:(s + 1) * BATCH]
-            xb = torch.from_numpy(x_tr[idx])
+            xb = [torch.from_numpy(x[idx]) for x in xs_tr]
             yb = torch.from_numpy(y_tr[idx])
             opt.zero_grad()
-            out = model(xb)["main"]
+            out = model(*xb)["main"]
             loss = loss_fn(out, yb)
             loss.backward()
             opt.step()
             losses.append(float(loss))
         sched.step()
-        val_aucs.append(auroc(y_va, predict(x_va)))
-    test_auc = auroc(y_te, predict(x_te))
+        val_aucs.append(auroc(y_va, predict(xs_va)))
+    test_auc = auroc(y_te, predict(xs_te))
     return losses, val_aucs, test_auc
 
 
@@ -204,7 +241,7 @@ def run_ours(train, val, test):
     from oaprogressionmmf_tpu.utils.torch_interop import (
         export_reference_checkpoint)
 
-    (x_tr, y_tr), (x_va, y_va), (x_te, y_te) = train, val, test
+    (xs_tr, y_tr), (xs_va, y_va), (xs_te, y_te) = train, val, test
     steps = N_TRAIN // BATCH
 
     model = dict_models[MODEL_CFG["name"]](config=MODEL_CFG)
@@ -215,7 +252,8 @@ def run_ours(train, val, test):
     tx = dict_optimizers["Adam"](lr_schedule, weight_decay=WEIGHT_DECAY)
 
     variables = model.init(jax.random.key(0),
-                           jnp.asarray(x_tr[:2]), train=False)
+                           *(jnp.asarray(x[:2]) for x in xs_tr),
+                           train=False)
     variables = {"params": jax.device_get(variables["params"]),
                  "batch_stats": jax.device_get(
                      variables.get("batch_stats", {}))}
@@ -231,7 +269,7 @@ def run_ours(train, val, test):
         def loss_of(params):
             out, mut = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
-                xb, train=True, mutable=["batch_stats"])
+                *xb, train=True, mutable=["batch_stats"])
             loss = loss_fn(out["main"], yb)
             return loss, mut["batch_stats"]
 
@@ -246,13 +284,14 @@ def run_ours(train, val, test):
     @jax.jit
     def predict_step(params, batch_stats, xb):
         out = model.apply({"params": params, "batch_stats": batch_stats},
-                          xb, train=False)
+                          *xb, train=False)
         return jax.nn.softmax(out["main"], axis=-1)[:, 1]
 
-    def predict(x):
-        outs = [np.asarray(predict_step(state.params, state.batch_stats,
-                                        jnp.asarray(x[i:i + BATCH])))
-                for i in range(0, len(x), BATCH)]
+    def predict(xs):
+        outs = [np.asarray(predict_step(
+            state.params, state.batch_stats,
+            tuple(jnp.asarray(x[i:i + BATCH]) for x in xs)))
+            for i in range(0, len(xs[0]), BATCH)]
         return np.concatenate(outs)
 
     losses, val_aucs = [], []
@@ -261,11 +300,12 @@ def run_ours(train, val, test):
             perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
             for s in range(steps):
                 idx = perm[s * BATCH:(s + 1) * BATCH]
-                state, loss = train_step(state, jnp.asarray(x_tr[idx]),
-                                         jnp.asarray(y_tr[idx]))
+                state, loss = train_step(
+                    state, tuple(jnp.asarray(x[idx]) for x in xs_tr),
+                    jnp.asarray(y_tr[idx]))
                 losses.append(float(loss))
-            val_aucs.append(auroc(y_va, predict(x_va)))
-        test_auc = auroc(y_te, predict(x_te))
+            val_aucs.append(auroc(y_va, predict(xs_va)))
+        test_auc = auroc(y_te, predict(xs_te))
     return losses, val_aucs, test_auc, sd_init
 
 
