@@ -31,8 +31,12 @@ import jax.numpy as jnp
 from .feat import FeaT
 from .resnet import FE_ARCHS, FE_OUT_CHANNELS, FE_STRIDE32
 
-# FE output spatial size for stride-32 encoders, keyed by input size
-# (the reference's static shape oracle, _mrN_cnn_trf.py:55 + _xr1mrN.py:64-65)
+# FE output spatial size for the resnet-family stride-32 encoders, keyed by
+# input size (the reference's static shape oracle, _mrN_cnn_trf.py:55 +
+# _xr1mrN.py:64-65). Kept as documentation of the reference table;
+# `_fe_spatial` computes the exact per-arch floor/ceil halving chain so
+# archs with different padding/pooling (vgg16 floor-pools, densenet161
+# avg-pool transitions) are sized correctly at every input.
 FE_SPATIAL = {320: 10, 160: 5, 128: 4, 96: 3, 64: 2, 32: 1, 350: 11, 25: 1}
 
 
@@ -42,20 +46,48 @@ def _downscaled(size: Sequence[int], factor) -> list[int]:
     return [round(s * d) for s, d in zip(size, factor)]
 
 
+def _ceil_half(s: int) -> int:
+    # conv7/s2 pad3, maxpool3/s2 pad1, conv3/s2 pad1 all give ceil(s/2)
+    return (s + 1) // 2
+
+
+def _floor_half(s: int) -> int:
+    # unpadded 2x2/s2 pooling gives floor(s/2)
+    return s // 2
+
+
+# 5-stage halving chains for the stride-32 encoders (resnet.FE_STRIDE32):
+# resnet/resnext = all-ceil; vgg16 = five floor max-pools; densenet161 =
+# conv+maxpool (ceil) then three 2x2/s2 avg-pool transitions (floor)
+_FE_HALVING_CHAINS = {
+    "vgg16": (_floor_half,) * 5,
+    "densenet161": (_ceil_half, _ceil_half,
+                    _floor_half, _floor_half, _floor_half),
+}
+
+
 def _fe_spatial(shape_in: Sequence[int], arch: str = "resnet50"
                 ) -> tuple[int, ...]:
     """Static FE-map spatial oracle. Raises loudly — never guesses — for
-    unmapped input sizes or non-stride-32 encoders (the reference raises
+    collapsing input sizes or non-stride-32 encoders (the reference raises
     equivalently, _mrN_cnn_trf.py:97-102,196-200)."""
     if arch not in FE_STRIDE32:
         raise ValueError(
             f"`model.fe.arch`={arch!r} requires `model.fe.with_gap=true` "
             f"(non-stride-32 feature maps)")
-    try:
-        return tuple(FE_SPATIAL[int(e)] for e in shape_in)
-    except KeyError:
-        raise ValueError(
-            "Unspecified `model.fe` output shape for given `model.input_size`")
+    chain = _FE_HALVING_CHAINS.get(arch, (_ceil_half,) * 5)
+    out = []
+    for e in shape_in:
+        s = int(e)
+        for halve in chain:
+            s = halve(s)
+        if s < 1:
+            raise ValueError(
+                f"`model.fe.arch`={arch!r} collapses input extent {int(e)} "
+                f"to a zero-size feature map; increase `model.input_size` "
+                f"or use `model.fe.with_gap=true`")
+        out.append(s)
+    return tuple(out)
 
 
 def _fold_volume_to_slices(x: jnp.ndarray, dims_view: str = "rc"):

@@ -217,6 +217,20 @@ class ReduceLROnPlateau:
             return a > best * (1.0 + self.threshold)
         return a > best + self.threshold
 
+    def state_dict(self) -> dict:
+        """Host-side controller state, checkpointed by the trainer so that
+        resume does not silently reset a reduced LR (exact-resume
+        guarantee, SURVEY §5.3)."""
+        return {"current_lr": self.current_lr, "best": self.best,
+                "num_bad_epochs": self.num_bad_epochs,
+                "cooldown_counter": self.cooldown_counter}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.current_lr = float(state["current_lr"])
+        self.best = float(state["best"])
+        self.num_bad_epochs = int(state["num_bad_epochs"])
+        self.cooldown_counter = int(state["cooldown_counter"])
+
     def step(self, metric) -> float:
         current = float(metric)
         if self._is_better(current, self.best):

@@ -12,9 +12,9 @@ from OAI semi-quantitative X-ray readings:
     follow-up,
   * progressor coding collapsed to {0: none within 84m, 1: ≤60m, 2: >60m}.
 
-Input: the OAI `kxr_sq_bu{code}` tables. The reference reads `.sas7bdat`
-via the sas7bdat package (unavailable here); this implementation consumes
-the same tables as CSV (the OAI distribution ships both), or any
+Input: the OAI `kxr_sq_bu{code}` tables, read directly from the raw
+`.sas7bdat` releases (utils/sas.py, matching the reference's
+`SAS7BDAT(...).to_data_frame()` path) or from CSV conversions — any
 pandas-readable file with ID / SIDE / V{code}XRKL columns.
 """
 
@@ -33,18 +33,11 @@ SIDES = [None, "R", "L"]
 
 
 def read_table(fname) -> pd.DataFrame:
-    """Read an OAI table: CSV directly; .sas7bdat only if a reader exists."""
+    """Read an OAI table: raw .sas7bdat release or CSV conversion."""
     fname = str(fname)
     if fname.endswith(".sas7bdat"):
-        try:
-            from sas7bdat import SAS7BDAT
-        except ImportError as e:
-            raise ImportError(
-                "sas7bdat is unavailable — convert the OAI tables to CSV "
-                "(same columns) and pass those instead") from e
-        with SAS7BDAT(fname) as f:
-            rows = list(f)
-        return pd.DataFrame(rows[1:], columns=rows[0])
+        from ..utils.sas import read_sas_table
+        return read_sas_table(fname)
     return pd.read_csv(fname)
 
 

@@ -9,11 +9,18 @@ labels per knee (data/targets.py), optionally joins the Tiulpin-2019
 prior-art cohort labels, and writes `meta_base.csv` into
 `OAI_Clin_prep/` — the file the index builder consumes.
 
-Inputs:
+Inputs (two equivalent entry formats):
   path_kl_long=...     CSV with columns patient, side, visit (months), XRKL
   path_clin_base=...   CSV with baseline clinical vars per (patient, side):
                        P02SEX, P02RACE, V00SITE, AGE, P01BMI, XRKL,
                        WOM*/P01INJ-/P01KSURG-/... (see data/index.py)
+  — or —
+  dir_oai_sas=...      directory with the RAW OAI .sas7bdat releases
+                       (kxr_sq_bu{00,01,03,05,06,08,10}, allclinical00,
+                       enrollees) — the same files the reference's targets
+                       notebook reads with pyreadstat/sas7bdat; parsed by
+                       utils/sas.py. kl_long + clin_base are derived
+                       internally.
   dir_root_output=...  → <dir>/meta_base.csv
   [path_tiulpin=...]   optional prior-art labels CSV (ID, Side, Progressor)
 """
@@ -33,11 +40,136 @@ from ..data.targets import derive_progression_labels
 logger = logging.getLogger("prepare_targets")
 
 
+# OAI exam code → visit month (reference notebook cell mapping; the 48m
+# visit uses code 06)
+SAS_EXAM_MONTHS = {"00": 0, "01": 12, "03": 24, "05": 36, "06": 48,
+                   "08": 72, "10": 96}
+_SIDE_NAMES = {1: "RIGHT", 2: "LEFT"}
+_SIDE_LETTERS = {"RIGHT": "R", "LEFT": "L"}
+
+
+def _find_sas_table(dir_oai_sas, name: str):
+    base = Path(dir_oai_sas)
+    for cand in (base / f"{name}.sas7bdat",
+                 base / "Semi-Quant Scoring_SAS" / f"{name}.sas7bdat",
+                 base / f"{name.upper()}.sas7bdat"):
+        if cand.exists():
+            return cand
+    return None
+
+
+def build_kl_long_from_sas(dir_oai_sas) -> pd.DataFrame:
+    """Raw `kxr_sq_bu{code}.sas7bdat` releases → long (patient, side,
+    visit, XRKL) table; values outside 0..4 are coded 5 (TKR), missing -1
+    (the notebook's coding)."""
+    from ..utils.sas import read_sas_table
+
+    rows = []
+    found = 0
+    for code, months in SAS_EXAM_MONTHS.items():
+        path = _find_sas_table(dir_oai_sas, f"kxr_sq_bu{code}")
+        if path is None:
+            logger.warning(f"kxr_sq_bu{code}.sas7bdat not found; "
+                           f"skipping visit {months}m")
+            continue
+        found += 1
+        t = read_sas_table(path)
+        t.columns = [str(c).upper() for c in t.columns]
+        t = t.drop_duplicates(subset=["ID", "SIDE"])
+        kl_col = f"V{code}XRKL"
+        for _, r in t.iterrows():
+            side = _SIDE_NAMES.get(int(r["SIDE"]))
+            if side is None:
+                continue
+            kl = r.get(kl_col)
+            if kl is None or (isinstance(kl, float) and np.isnan(kl)):
+                kl = -1
+            else:
+                kl = int(kl)
+                if not 0 <= kl <= 4:
+                    kl = 5
+            rows.append({"patient": str(int(float(r["ID"]))), "side": side,
+                         "visit": months, "XRKL": kl})
+    if not found:
+        raise FileNotFoundError(
+            f"No kxr_sq_bu*.sas7bdat releases under {dir_oai_sas}")
+    return pd.DataFrame(rows)
+
+
+def build_clin_base_from_sas(dir_oai_sas) -> pd.DataFrame:
+    """Raw `allclinical00` + `enrollees` releases → side-wise clin_base
+    with the template-named columns the index builder consumes
+    (data/index.py:29-38): per (patient, side) row, each side-slotted
+    template `WOMTS-`/`P01INJ-`/`KP-30CV`... resolved from the raw
+    side-suffixed variable (with or without the V00 prefix)."""
+    from ..utils.sas import read_sas_table
+
+    path_clin = _find_sas_table(dir_oai_sas, "allclinical00")
+    path_enr = _find_sas_table(dir_oai_sas, "enrollees")
+    if path_clin is None:
+        raise FileNotFoundError(f"allclinical00.sas7bdat not found under "
+                                f"{dir_oai_sas}")
+    clin = read_sas_table(path_clin)
+    clin.columns = [str(c).upper() for c in clin.columns]
+    if path_enr is not None:
+        enr = read_sas_table(path_enr)
+        enr.columns = [str(c).upper() for c in enr.columns]
+        clin = clin.merge(enr, on="ID", how="left",
+                          suffixes=("", "__enr"))
+
+    templates = ["WOMADL-", "WOMKP-", "WOMSTF-", "WOMTS-",
+                 "KP-30CV", "KRS-12", "P01INJ-", "P01KSURG-", "P01KRS-",
+                 "P01ART-", "P01ART-INJ", "P01MEN-", "P01MEN-INJ",
+                 "P01LR-", "P01OTSURG-", "P01OTS-INJ"]
+
+    def resolve(template: str, letter: str):
+        name = template.replace("-", letter, 1)
+        for cand in (name, f"V00{name}"):
+            if cand in clin.columns:
+                return cand
+        return None
+
+    halves = []
+    for side in ("RIGHT", "LEFT"):
+        letter = _SIDE_LETTERS[side]
+        half = pd.DataFrame({"patient": clin["ID"].map(
+            lambda v: str(int(float(v))))})
+        half["side"] = side
+        half["visit_month"] = "000m"
+        half["visit"] = 0
+        half["prefix_var"] = "V00"
+        for src, dst in (("P02SEX", "P02SEX"), ("P02RACE", "P02RACE"),
+                         ("V00SITE", "V00SITE"), ("V00AGE", "AGE"),
+                         ("P01BMI", "P01BMI")):
+            half[dst] = clin[src].values if src in clin.columns else np.nan
+        for template in templates:
+            col = resolve(template, letter)
+            half[template] = clin[col].values if col else np.nan
+        halves.append(half)
+    return pd.concat(halves, ignore_index=True)
+
+
+def build_meta_base_from_sas(dir_oai_sas, path_tiulpin=None) -> pd.DataFrame:
+    """meta_base straight from the raw OAI SAS releases (the reference
+    notebook's ingestion path, Targets_meta_and_scans_from_OAI.ipynb)."""
+    df_kl = build_kl_long_from_sas(dir_oai_sas)
+    df_clin = build_clin_base_from_sas(dir_oai_sas)
+    # baseline XRKL per knee joins from the 0-month rows
+    base_kl = df_kl[df_kl["visit"] == 0][["patient", "side", "XRKL"]]
+    df_clin = df_clin.merge(base_kl, on=["patient", "side"], how="left")
+    df_clin["XRKL"] = df_clin["XRKL"].fillna(-1).astype(int)
+    return _assemble_meta_base(df_kl, df_clin, path_tiulpin)
+
+
 def build_meta_base(path_kl_long, path_clin_base, path_tiulpin=None
                     ) -> pd.DataFrame:
     df_kl = pd.read_csv(path_kl_long, dtype={"patient": str, "side": str})
     df_clin = pd.read_csv(path_clin_base, dtype={"patient": str, "side": str})
+    return _assemble_meta_base(df_kl, df_clin, path_tiulpin)
 
+
+def _assemble_meta_base(df_kl: pd.DataFrame, df_clin: pd.DataFrame,
+                        path_tiulpin=None) -> pd.DataFrame:
     df_labels = derive_progression_labels(df_kl)
     df_labels["patient"] = df_labels["patient"].astype(str)
 
@@ -150,6 +282,7 @@ def main(argv=None) -> None:
     logging.basicConfig(level=logging.INFO)
     argv = list(sys.argv[1:] if argv is None else argv)
     config = {"path_kl_long": None, "path_clin_base": None,
+              "dir_oai_sas": None,
               "dir_root_output": None, "path_tiulpin": None,
               "dir_scan_source": None, "dir_scan_target": None,
               "path_csv_extract": None, "num_threads": 4,
@@ -159,13 +292,20 @@ def main(argv=None) -> None:
         config[k] = yaml.safe_load(v)
 
     did_something = False
-    if config["path_kl_long"] or config["path_clin_base"]:
-        for k in ("path_kl_long", "path_clin_base", "dir_root_output"):
-            if not config[k]:
-                raise SystemExit(f"Missing required override: {k}=...")
-        out = build_meta_base(config["path_kl_long"],
-                              config["path_clin_base"],
-                              config["path_tiulpin"])
+    if config["dir_oai_sas"] or config["path_kl_long"] \
+            or config["path_clin_base"]:
+        if not config["dir_root_output"]:
+            raise SystemExit("Missing required override: dir_root_output=...")
+        if config["dir_oai_sas"]:
+            out = build_meta_base_from_sas(config["dir_oai_sas"],
+                                           config["path_tiulpin"])
+        else:
+            for k in ("path_kl_long", "path_clin_base"):
+                if not config[k]:
+                    raise SystemExit(f"Missing required override: {k}=...")
+            out = build_meta_base(config["path_kl_long"],
+                                  config["path_clin_base"],
+                                  config["path_tiulpin"])
         out_dir = Path(config["dir_root_output"])
         out_dir.mkdir(parents=True, exist_ok=True)
         out.to_csv(out_dir / "meta_base.csv", index=False)
@@ -190,9 +330,10 @@ def main(argv=None) -> None:
 
     if not did_something:
         raise SystemExit(
-            "Nothing to do: pass path_kl_long/path_clin_base/"
-            "dir_root_output for targets, and/or dir_scan_source/"
-            "dir_scan_target/path_csv_extract for scan copying")
+            "Nothing to do: pass dir_oai_sas (raw releases) or "
+            "path_kl_long/path_clin_base, plus dir_root_output, for "
+            "targets; and/or dir_scan_source/dir_scan_target/"
+            "path_csv_extract for scan copying")
 
 
 

@@ -208,22 +208,24 @@ def make_preprocess_fn(modals, downscale, train: bool,
     passes over the pre-downscale volume, numerically identical up to f32
     reassociation.
 
-    Train path: by default the stochastic augmentation (rotate/gamma) runs
-    AFTER the downscale — the rotation's bilinear gathers on the full-res
-    volume dominate the whole train step otherwise (measured ~585 ms of a
-    1236 ms flagship batch-16 step; 8× fewer voxels after downscale). The
-    reference augments at full resolution and then downscales inside the
-    model; set ``augment_full_res=True`` (or env OAPROG_AUGMENT_FULL_RES=1,
-    or config ``training.augment_full_res``) for reference-exact ordering —
-    the two orders differ only in resampling interpolation order, not in
-    augmentation semantics.
+    Train path: the reference augments at full resolution and then
+    downscales inside the model; that ordering is the default
+    (``augment_full_res=True`` in prog_fus.yaml). Setting it false moves
+    the stochastic augmentation (rotate/gamma) AFTER the downscale — ~2×
+    faster (the rotation's bilinear gathers on the full-res volume
+    measured ~585 ms of a 1236 ms flagship batch-16 step; 8× fewer voxels
+    after downscale) but NOT equivalent to the reference ordering: gamma
+    is pointwise-nonlinear, so commuting it with the linear downscale
+    changes values (same augmentation *distribution*, different per-sample
+    results — see PARITY.md). Env override: OAPROG_AUGMENT_FULL_RES=0/1.
     """
     import os
 
-    from ..ops.preproc import MODALITY_STATS
-
     if augment_full_res is None:
-        augment_full_res = bool(os.environ.get("OAPROG_AUGMENT_FULL_RES"))
+        env = os.environ.get("OAPROG_AUGMENT_FULL_RES")
+        # reference-exact ordering unless explicitly disabled
+        augment_full_res = True if env is None else env not in ("0", "")
+    from ..ops.preproc import MODALITY_STATS
     aug_fns = [make_augment_fn(m) if train else None for m in modals]
 
     def preprocess(xs: tuple, key=None) -> tuple:
@@ -435,13 +437,43 @@ class ProgressionTrainer:
 
         last = self.ckpt.get_last_ckpt()
         if last is not None:
-            payload = load_ckpt(last, target=state_to_serializable(state))
+            try:
+                payload = load_ckpt(last, target=self._ckpt_payload(state))
+            except Exception:
+                # checkpoint predates the plateau-state payload extension
+                payload = load_ckpt(last, target=state_to_serializable(state))
             self.state = TrainState(step=payload["step"],
                                     params=payload["params"],
                                     batch_stats=payload["batch_stats"],
                                     opt_state=payload["opt_state"])
+            if self._plateau is not None:
+                if "plateau" in payload:
+                    self._plateau.load_state_dict(
+                        {k: np.asarray(v).item()
+                         for k, v in payload["plateau"].items()})
+                else:
+                    # legacy checkpoint: at least keep the restored reduced
+                    # LR instead of resetting to lr_init
+                    self._plateau.current_lr = float(np.asarray(
+                        self.state.opt_state.hyperparams["learning_rate"]))
             self.start_epoch = int(self.state.step) // self.steps_per_epoch
             logger.info(f"Resumed from {last} at epoch {self.start_epoch}")
+
+    def _ckpt_payload(self, state=None) -> dict:
+        """Full-state checkpoint payload; includes the host-side plateau
+        controller state so metric-driven LR survives resume exactly."""
+        payload = state_to_serializable(
+            self.state if state is None else state)
+        if self._plateau is not None:
+            sd = self._plateau.state_dict()
+            payload["plateau"] = {
+                "current_lr": np.asarray(sd["current_lr"], np.float64),
+                "best": np.asarray(sd["best"], np.float64),
+                "num_bad_epochs": np.asarray(sd["num_bad_epochs"], np.int64),
+                "cooldown_counter": np.asarray(sd["cooldown_counter"],
+                                               np.int64),
+            }
+        return payload
 
     # ------------------------------------------------------------------
 
@@ -541,7 +573,7 @@ class ProgressionTrainer:
                 crit_best = crit_curr
                 best = {"epoch": epoch_idx, "val": metrics_val}
                 self.ckpt.save_new_ckpt(
-                    state_to_serializable(self.state),
+                    self._ckpt_payload(),
                     model_name=self.config.model.name,
                     fold_idx=self.fold_idx, epoch_idx=epoch_idx)
 

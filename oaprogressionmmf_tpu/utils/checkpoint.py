@@ -138,7 +138,22 @@ def load_ckpt(path, target=None):
         ckptr = ocp.PyTreeCheckpointer()
         restored = ckptr.restore(path.resolve())
         if target is not None:
-            return serialization.from_state_dict(target, restored)
+            # orbax (no target) returns tuple nodes as plain lists and
+            # empty containers (e.g. optax EmptyState) as None, but flax
+            # from_state_dict expects index-keyed dicts for tuple targets
+            # and {} for empty ones — convert before merging.
+            def _lists_to_dicts(node):
+                if node is None:
+                    return {}
+                if isinstance(node, list):
+                    return {str(i): _lists_to_dicts(v)
+                            for i, v in enumerate(node)}
+                if isinstance(node, dict):
+                    return {k: _lists_to_dicts(v) for k, v in node.items()}
+                return node
+
+            return serialization.from_state_dict(target,
+                                                 _lists_to_dicts(restored))
         return restored
     data = path.read_bytes()
     if target is not None:

@@ -60,9 +60,7 @@ def test_orbax_backend_roundtrip(tmp_path):
 
     h = make_checkpoint_handler(tmp_path, backend="orbax")
     state = {"step": np.asarray(3, np.int32),
-             "params": {"w": np.arange(6, np.float32).reshape(2, 3)
-                        if False else
-                        np.arange(6, dtype=np.float32).reshape(2, 3)},
+             "params": {"w": np.arange(6, dtype=np.float32).reshape(2, 3)},
              "batch_stats": {},
              "opt_state": {"m": np.ones(4, np.float32)}}
     p1 = h.save_new_ckpt(state, model_name="XR1Cnn", fold_idx=0,
@@ -85,6 +83,47 @@ def test_orbax_backend_roundtrip(tmp_path):
     assert int(restored["step"]) == 5
     np.testing.assert_array_equal(restored["params"]["w"],
                                   state["params"]["w"])
+
+
+def test_orbax_restores_real_optax_opt_state(tmp_path):
+    """Regression: orbax restore (no target) yields tuple nodes as plain
+    lists; load_ckpt must convert them to index-keyed dicts before
+    flax.from_state_dict, or restoring any real optax opt_state (tuple of
+    namedtuples — e.g. dict_optimizers['Adam']) raises TypeError and
+    orbax-backed training cannot resume."""
+    import jax.numpy as jnp
+    from oaprogressionmmf_tpu.train.state import (
+        TrainState, dict_optimizers, state_to_serializable)
+    from oaprogressionmmf_tpu.utils.checkpoint import (
+        load_ckpt, make_checkpoint_handler)
+
+    params = {"dense": {"kernel": jnp.ones((3, 2), jnp.float32),
+                        "bias": jnp.zeros((2,), jnp.float32)}}
+    tx = dict_optimizers["Adam"](lambda step: 1e-3, weight_decay=1e-4)
+    state = TrainState(step=jnp.asarray(4, jnp.int32), params=params,
+                       batch_stats={"bn": {"mean": jnp.ones(2)}},
+                       opt_state=tx.init(params))
+    payload = state_to_serializable(state)
+
+    h = make_checkpoint_handler(tmp_path, backend="orbax")
+    p = h.save_new_ckpt(payload, model_name="M", fold_idx=0, epoch_idx=4)
+
+    import jax
+
+    target = state_to_serializable(
+        TrainState(step=jnp.asarray(0, jnp.int32),
+                   params=jax.tree_util.tree_map(jnp.zeros_like, params),
+                   batch_stats={"bn": {"mean": jnp.zeros(2)}},
+                   opt_state=tx.init(params)))
+    restored = load_ckpt(p, target=target)
+    assert int(restored["step"]) == 4
+    flat_a = jax.tree_util.tree_leaves(restored["opt_state"])
+    flat_b = jax.tree_util.tree_leaves(payload["opt_state"])
+    assert len(flat_a) == len(flat_b) and len(flat_a) > 0
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert (jax.tree_util.tree_structure(restored["opt_state"])
+            == jax.tree_util.tree_structure(target["opt_state"]))
 
 
 def test_checkpoint_backend_factory_rejects_unknown(tmp_path):

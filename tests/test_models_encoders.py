@@ -479,3 +479,33 @@ def test_family_runs_with_new_arch_and_raises_without_gap():
     model_bad = dict_models["MR1CnnTrf"](config=cfg_bad)
     with pytest.raises(ValueError, match="with_gap"):
         model_bad.init(jax.random.key(2), x, train=False)
+
+
+def test_fe_spatial_oracle_arch_aware():
+    """vgg16 (floor max-pools) and densenet161 (avg-pool transitions)
+    downsample differently from resnet at sizes not divisible by 32; the
+    static oracle must match each arch's actual output and raise on
+    collapse-to-zero instead of mis-sizing the pos-embedding."""
+    import pytest as _pytest
+
+    from oaprogressionmmf_tpu.models.encoders import DenseNetFE, VGGFE
+    from oaprogressionmmf_tpu.models.families import _fe_spatial
+
+    assert _fe_spatial((350, 350), "vgg16") == (10, 10)
+    assert _fe_spatial((350, 350), "densenet161") == (11, 11)
+    assert _fe_spatial((350, 350), "resnet50") == (11, 11)
+    assert _fe_spatial((50, 50), "vgg16") == (1, 1)
+    assert _fe_spatial((50, 50), "resnet50") == (2, 2)
+    for arch in ("vgg16", "densenet161"):
+        with _pytest.raises(ValueError, match="collapses"):
+            _fe_spatial((25, 25), arch)
+
+    # oracle vs the real encoders at a size where the chains disagree
+    x = jnp.ones((1, 50, 50, 3), jnp.float32)
+    v = VGGFE(with_gap=False)
+    out = v.apply(v.init(jax.random.key(0), x), x, train=False)
+    assert out.shape[1:3] == _fe_spatial((50, 50), "vgg16")
+    d = DenseNetFE(growth_rate=8, block_config=(2, 2, 2, 2),
+                   num_init_features=16, with_gap=False)
+    out = d.apply(d.init(jax.random.key(0), x), x, train=False)
+    assert out.shape[1:3] == _fe_spatial((50, 50), "densenet161")

@@ -101,16 +101,33 @@ def test_mr2_dims_view(dims_view):
     assert out["main"].shape == (1, 2)
 
 
-def test_mr2_unmapped_size_raises():
-    """MR2 must fail loudly on unsupported FE-map shapes like the
-    reference (_mrN_cnn_trf.py:196-200), never silently assume (5, 5)."""
+def test_mr2_oracle_sizes_and_collapse():
+    """The arch-aware spatial oracle computes exact FE-map shapes for any
+    input (48² → 2² for resnets: 24,12,6,3,2 — the reference's static
+    table raised here, _mrN_cnn_trf.py:196-200, because it was incomplete,
+    not because the shape is unsupported), and still fails loudly when an
+    arch collapses the map to zero size instead of mis-sizing the
+    pos-embedding."""
     fe = dict(FE1, with_gap=False)
     cfg = _cfg("MR2CnnTrf", input_size=[[48, 48, 2], [48, 48, 2]], fe=fe)
     cfg["agg"]["num_slices"] = [2, 2]
     model = dict_models["MR2CnnTrf"](config=cfg)
-    with pytest.raises(ValueError, match="input_size"):
-        model.init(jax.random.key(0), jnp.ones((1, 1, 48, 48, 2)),
-                   jnp.ones((1, 1, 48, 48, 2)), train=False)
+    x = jnp.ones((1, 1, 48, 48, 2))
+    variables = model.init(jax.random.key(0), x, x, train=False)
+    out = model.apply(variables, x, x, train=False)
+    assert out["main"].shape == (1, 2)
+    # 2 slices x 2x2 maps x 2 sequences (+CLS) tokens behind the FeaT
+    pe = variables["params"]["agg"]["pos_embedding"]
+    assert pe.shape[1] == 2 * 2 * 2 * 2 + 1
+
+    fe_bad = dict(FE1, arch="vgg16", with_gap=False)
+    cfg_bad = _cfg("MR2CnnTrf", input_size=[[25, 25, 2], [25, 25, 2]],
+                   fe=fe_bad)
+    cfg_bad["agg"]["num_slices"] = [2, 2]
+    model_bad = dict_models["MR2CnnTrf"](config=cfg_bad)
+    with pytest.raises(ValueError, match="collapses"):
+        model_bad.init(jax.random.key(0), jnp.ones((1, 1, 25, 25, 2)),
+                       jnp.ones((1, 1, 25, 25, 2)), train=False)
 
 
 FE_FUSION = {

@@ -47,6 +47,34 @@ def test_flash_gradients_match_reference():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
 
 
+@pytest.mark.parametrize("dtype,atol", [(np.float32, 5e-4), ("bf16", 4e-2)])
+def test_flash_gradients_multiblock(dtype, atol):
+    """Cross-block accumulation paths: n=200 with 128-blocks exercises dq
+    accumulation over 2 k-blocks and dk/dv over 2 q-blocks (incl. a ragged
+    final block) — the production N=2432/block-512 layout in miniature."""
+    rng = np.random.RandomState(4)
+    b, h, n, d = 1, 1, 200, 64
+    jdt = jnp.bfloat16 if dtype == "bf16" else jnp.float32
+    q = jnp.asarray(rng.randn(b, h, n, d), jdt)
+    k = jnp.asarray(rng.randn(b, h, n, d), jdt)
+    v = jnp.asarray(rng.randn(b, h, n, d), jdt)
+    scale = d ** -0.5
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, scale=scale, block_q=128, block_k=128)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_reference(q, k, v, scale)[0]
+                       .astype(jnp.float32) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b_, np.float32), atol=atol)
+
+
 def test_flash_bf16():
     rng = np.random.RandomState(2)
     q = jnp.asarray(rng.randn(1, 2, 64, 128), jnp.bfloat16)

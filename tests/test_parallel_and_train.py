@@ -56,6 +56,9 @@ def test_mesh_sharding_and_multichip_dryrun():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
+    # the driver's default dryrun path is DP-only (time budget); the test
+    # suite always exercises the dp×tp phase too
+    env["OAPROG_DRYRUN_TP"] = "1"
     # the remote compile service occasionally drops a request — retry once
     last = None
     for attempt in range(2):
@@ -70,6 +73,7 @@ def test_mesh_sharding_and_multichip_dryrun():
         if out.returncode == 0:
             assert "MESH_CHECKS_OK" in out.stdout
             assert "dryrun_multichip(8) ok" in out.stdout
+            assert "dp×tp (2×4) ok" in out.stdout
             return
         last = f"rc={out.returncode}\nstdout:\n{out.stdout}\nstderr:\n{out.stderr}"
     pytest.fail(f"mesh subprocess failed twice; last:\n{last}")
