@@ -56,6 +56,18 @@ def main():
                 "emb_dropout": 0.1, "mlp_dim": 2048, "mlp_dropout": 0.1},
     }
 
+    # int8 FE serving quantization (fe.quant knob; models/resnet.py):
+    # calibrate activation scales on one batch, then run the quantized
+    # graph. OAPROG_BENCH_QUANT=none benches the bf16 path.
+    quant = os.environ.get("OAPROG_BENCH_QUANT", "int8")
+    if quant not in ("int8", "none", ""):
+        raise SystemExit(f"OAPROG_BENCH_QUANT={quant!r}: use int8|none")
+    use_quant = quant == "int8"
+    if use_quant:
+        for k in ("xr", "mr"):
+            model_cfg["fe"][k] = dict(model_cfg["fe"][k], quant="int8")
+        model_cfg["agg"] = dict(model_cfg["agg"], quant="int8")
+
     model = dict_models["XR1MR2C1CnnTrf"](config=model_cfg,
                                           compute_dtype=jnp.bfloat16)
     preproc = make_preprocess_fn(modals, model_cfg["downscale"], train=False)
@@ -75,6 +87,26 @@ def main():
     variables = jax.jit(
         lambda xs: model.init(jax.random.key(0), *preproc(xs), train=False)
     )(xs)
+
+    if use_quant:
+        # one calibration batch records per-conv activation amax into the
+        # quant_acts collection (static scales: zero extra passes at
+        # serving time)
+        calib_cfg = dict(model_cfg,
+                         fe={k: (dict(v, quant="calib")
+                                 if isinstance(v, dict) and "arch" in v else v)
+                             for k, v in model_cfg["fe"].items()},
+                         agg=dict(model_cfg["agg"], quant="calib"))
+        calib_model = dict_models["XR1MR2C1CnnTrf"](
+            config=calib_cfg, compute_dtype=jnp.bfloat16)
+
+        @jax.jit
+        def calibrate(variables, xs):
+            _, muts = calib_model.apply(variables, *preproc(xs), train=False,
+                                        mutable=["quant_acts"])
+            return muts["quant_acts"]
+        variables = dict(variables,
+                         quant_acts=calibrate(variables, xs))
 
     def one_step(variables, xs, eps):
         # per-iteration input perturbation defeats CSE/hoisting of the

@@ -81,7 +81,8 @@ class BatchLoader:
 
     def __init__(self, dataset, sampler, batch_size: int,
                  drop_last: bool = False, mesh=None, num_workers: int = 8,
-                 prefetch: int = 2, pad_to_batch: bool = False):
+                 prefetch: int = 2, pad_to_batch: bool = False,
+                 shard_index: int = 0, shard_count: int = 1):
         self.dataset = dataset
         self.sampler = sampler
         self.batch_size = batch_size
@@ -90,9 +91,30 @@ class BatchLoader:
         self.num_workers = num_workers
         self.prefetch = prefetch
         self.pad_to_batch = pad_to_batch
+        # multi-host index sharding (grain.ShardOptions semantics:
+        # contiguous equal shards of floor(n/shard_count), remainder
+        # dropped) — each host decodes a disjoint slice of the epoch order;
+        # `batch_size` is then the PER-HOST batch
+        self.shard_index = int(shard_index)
+        self.shard_count = int(shard_count)
+        if not 0 <= self.shard_index < self.shard_count:
+            raise ValueError(f"shard_index {shard_index} out of range for "
+                             f"shard_count {shard_count}")
+
+    def _local_samples(self) -> int:
+        n = self.sampler.num_samples
+        if self.shard_count > 1:
+            n = n // self.shard_count
+        return n
+
+    def _shard_order(self, order: np.ndarray) -> np.ndarray:
+        if self.shard_count <= 1:
+            return order
+        k = len(order) // self.shard_count
+        return order[self.shard_index * k:(self.shard_index + 1) * k]
 
     def batches_per_epoch(self) -> int:
-        n = self.sampler.num_samples
+        n = self._local_samples()
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -116,7 +138,7 @@ class BatchLoader:
 
     def epoch(self, epoch_idx: int = 0):
         """Generator of batches for one epoch, prefetched ahead."""
-        order = self.sampler.epoch_indices(epoch_idx)
+        order = self._shard_order(self.sampler.epoch_indices(epoch_idx))
         nb = self.batches_per_epoch()
         chunks = [order[i * self.batch_size:(i + 1) * self.batch_size]
                   for i in range(nb)]
@@ -187,10 +209,21 @@ class GrainBatchLoader(BatchLoader):
 
         order = self.sampler.epoch_indices(epoch_idx)
         nb = self.batches_per_epoch()
-        n_used = (nb * self.batch_size if self.drop_last else len(order))
-        source = _OrderedView(self.dataset, order[:n_used], epoch_idx)
+        if self.shard_count > 1:
+            # grain owns the host sharding: contiguous equal shards with
+            # the remainder dropped (verified identical to
+            # BatchLoader._shard_order)
+            shard_options = grain.ShardOptions(
+                shard_index=self.shard_index, shard_count=self.shard_count,
+                drop_remainder=True)
+        else:
+            shard_options = grain.NoSharding()
+            if self.drop_last:
+                # trim so workers never decode records of a dropped batch
+                order = order[:nb * self.batch_size]
+        source = _OrderedView(self.dataset, order, epoch_idx)
         index_sampler = grain.IndexSampler(
-            num_records=len(source), shard_options=grain.NoSharding(),
+            num_records=len(source), shard_options=shard_options,
             shuffle=False, num_epochs=1)
         loader = grain.DataLoader(
             data_source=source, sampler=index_sampler, operations=[],

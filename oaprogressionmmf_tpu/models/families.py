@@ -29,7 +29,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from .feat import FeaT
-from .resnet import FE_ARCHS, FE_OUT_CHANNELS, FE_STRIDE32
+from .resnet import (FE_ARCHS, FE_OUT_CHANNELS, FE_STRIDE32,
+                     QUANT_FE_ARCHS)
 
 # FE output spatial size for the resnet-family stride-32 encoders, keyed by
 # input size (the reference's static shape oracle, _mrN_cnn_trf.py:55 +
@@ -88,6 +89,17 @@ def _fe_spatial(shape_in: Sequence[int], arch: str = "resnet50"
                 f"or use `model.fe.with_gap=true`")
         out.append(s)
     return tuple(out)
+
+
+def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
+    """FE factory honoring the optional `fe.quant` serving knob
+    (int8 post-training quantization, models/resnet.py) on the archs that
+    support it; other archs ignore it."""
+    kwargs = {"with_gap": with_gap, "dtype": dtype, "name": name}
+    quant = fe_cfg.get("quant")
+    if quant and fe_cfg["arch"] in QUANT_FE_ARCHS:
+        kwargs["quant"] = quant
+    return FE_ARCHS[fe_cfg["arch"]](**kwargs)
 
 
 def _fold_volume_to_slices(x: jnp.ndarray, dims_view: str = "rc"):
@@ -169,6 +181,8 @@ def _feat_kwargs(config, num_patches, depth_ch, with_cls=True):
         emb_dropout=float(agg["emb_dropout"]),
         with_cls=with_cls,
         mlp_dropout=float(agg["mlp_dropout"]),
+        # int8 serving quantization of the FeaT dense stacks (agg.quant)
+        quant=agg.get("quant"),
     )
 
 
@@ -181,9 +195,7 @@ class XR1Cnn(nn.Module):
     @nn.compact
     def __call__(self, input, train: bool = False):
         cfg = self.config
-        arch = cfg["fe"]["arch"]
-        fe = FE_ARCHS[arch](with_gap=True, dtype=self.compute_dtype,
-                            name="fe")
+        fe = _make_fe(cfg["fe"], True, self.compute_dtype, "fe")
         x = _image_to_nhwc(input.astype(self.compute_dtype))
         feats = fe(x, train=train)                    # (B, C)
 
@@ -221,8 +233,7 @@ class MR1CnnTrf(nn.Module):
             spat = _fe_spatial(shape_in, fe_cfg["arch"])
         axis_tokens = _axis_token_count(shape_in, spat, dims_view)
 
-        fe = FE_ARCHS[fe_cfg["arch"]](with_gap=with_gap,
-                                      dtype=self.compute_dtype, name="fe")
+        fe = _make_fe(fe_cfg, with_gap, self.compute_dtype, "fe")
         b = input.shape[0]
         slices, _ = _fold_volume_to_slices(input.astype(self.compute_dtype),
                                            dims_view)
@@ -281,9 +292,8 @@ class MR2CnnTrf(nn.Module):
         b = input0.shape[0]
         tokens = []
         for idx, x in enumerate((input0, input1)):
-            fe = FE_ARCHS[fe_cfg["arch"]](with_gap=with_gap,
-                                          dtype=self.compute_dtype,
-                                          name=f"fe{idx}")
+            fe = _make_fe(fe_cfg, with_gap, self.compute_dtype,
+                          f"fe{idx}")
             slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype),
                                                dims_view)
             feats = fe(slices, train=train)
@@ -338,8 +348,8 @@ class _XrMrFusionBase(nn.Module):
     def _xr_tokens(self, input0, train):
         cfg = self.config
         xr_cfg = cfg["fe"]["xr"]
-        fe = FE_ARCHS[xr_cfg["arch"]](with_gap=bool(xr_cfg["with_gap"]),
-                                      dtype=self.compute_dtype, name="fe_xr")
+        fe = _make_fe(xr_cfg, bool(xr_cfg["with_gap"]),
+                      self.compute_dtype, "fe_xr")
         feats = fe(_image_to_nhwc(input0.astype(self.compute_dtype)),
                    train=train)
         if float(xr_cfg.get("dropout") or 0.0):
@@ -351,8 +361,8 @@ class _XrMrFusionBase(nn.Module):
         cfg = self.config
         mr_cfg = cfg["fe"]["mr"]
         dims_view = mr_cfg.get("dims_view", "rc") or "rc"
-        fe = FE_ARCHS[mr_cfg["arch"]](with_gap=bool(mr_cfg["with_gap"]),
-                                      dtype=self.compute_dtype, name=name)
+        fe = _make_fe(mr_cfg, bool(mr_cfg["with_gap"]),
+                      self.compute_dtype, name)
         slices, _ = _fold_volume_to_slices(x.astype(self.compute_dtype),
                                            dims_view)
         feats = fe(slices, train=train)

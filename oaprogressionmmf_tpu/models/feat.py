@@ -21,6 +21,28 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from ..ops.flash_attention import attention_reference, flash_attention
+from ..ops.quant import quant_dense_apply
+
+
+class QDense(nn.Module):
+    """Drop-in nn.Dense with the int8 serving modes (ops/quant.py):
+    identical kernel/bias params, so trees and checkpoints are unchanged;
+    LN/softmax/residual math stays in `dtype`."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Any = jnp.float32
+    quant: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features), jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.features,), jnp.float32)
+                if self.use_bias else None)
+        return quant_dense_apply(self, x, kernel, bias, self.dtype,
+                                 self.quant)
 
 
 class FeedForward(nn.Module):
@@ -28,13 +50,18 @@ class FeedForward(nn.Module):
     hidden_dim: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+        # explicit Dense_* names keep the tree identical to the original
+        # auto-named nn.Dense modules
+        x = QDense(self.hidden_dim, dtype=self.dtype, quant=self.quant,
+                   name="Dense_0")(x)
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
-        x = nn.Dense(self.dim, dtype=self.dtype)(x)
+        x = QDense(self.dim, dtype=self.dtype, quant=self.quant,
+                   name="Dense_1")(x)
         return nn.Dropout(self.dropout)(x, deterministic=deterministic)
 
 
@@ -43,6 +70,7 @@ class Attention(nn.Module):
     heads: int = 8
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -51,10 +79,18 @@ class Attention(nn.Module):
         h = self.heads
         scale = self.dim ** -0.5  # full-width scale (reference parity)
 
-        qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype,
-                       name="to_qkv")(x)
-        qkv = qkv.reshape(b, n, 3, h, d // h)
-        q, k, v = (jnp.moveaxis(qkv[:, :, i], 1, 2) for i in range(3))
+        # separate q/k/v kernels (the reference fuses them into one
+        # (d, 3d) Linear, _core_trf.py:160; a column split of that kernel
+        # is numerically identical). Unpacked, the per-projection (d, d)
+        # kernels shard column-parallel over the tp "model" axis with
+        # EXACT head parallelism — the packed layout depended on GSPMD
+        # propagation through the (3, h, dh) reshape (parallel/tp.py).
+        def proj(name):
+            y = QDense(self.dim, use_bias=False, dtype=self.dtype,
+                       quant=self.quant, name=name)(x)
+            return jnp.moveaxis(y.reshape(b, n, h, d // h), 1, 2)
+
+        q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
 
         if mask is not None:
             # reference semantics (_core_trf.py:172-177): pairwise
@@ -68,7 +104,8 @@ class Attention(nn.Module):
             attn = None
 
         out = jnp.moveaxis(out, 1, 2).reshape(b, n, d)
-        out = nn.Dense(self.dim, dtype=self.dtype, name="to_out")(out)
+        out = QDense(self.dim, dtype=self.dtype, quant=self.quant,
+                     name="to_out")(out)
         out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
         return out, attn
 
@@ -80,6 +117,7 @@ class Transformer(nn.Module):
     mlp_dim: int
     dropout: float
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -89,7 +127,8 @@ class Transformer(nn.Module):
             o = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"prenorm_0_{d}")(x)
             o, attn = Attention(self.dim, self.heads, self.dropout,
-                                dtype=self.dtype, name=f"attn_{d}")(
+                                dtype=self.dtype, quant=self.quant,
+                                name=f"attn_{d}")(
                 o, deterministic=deterministic, return_attn=return_attn,
                 mask=mask)
             attentions.append(attn)
@@ -97,7 +136,8 @@ class Transformer(nn.Module):
             ff = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                               name=f"prenorm_1_{d}")(x)
             ff = FeedForward(self.dim, self.mlp_dim, self.dropout,
-                             dtype=self.dtype, name=f"ff_{d}")(
+                             dtype=self.dtype, quant=self.quant,
+                             name=f"ff_{d}")(
                 ff, deterministic=deterministic)
             x = ff + x
         return x, attentions
@@ -117,6 +157,9 @@ class FeaT(nn.Module):
     mlp_dropout: float = 0.0
     num_outputs: int = 1
     dtype: Any = jnp.float32
+    # int8 serving quantization of the dense stacks (ops/quant.py);
+    # eval-only, parameter tree unchanged
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, features, deterministic: bool = True,
@@ -135,8 +178,8 @@ class FeaT(nn.Module):
                 [jnp.ones((b, n_cls), dtype=bool), mask.astype(bool)],
                 axis=1)
 
-        x = nn.Dense(self.emb_dim, dtype=self.dtype,
-                     name="patch_to_embedding")(features)
+        x = QDense(self.emb_dim, dtype=self.dtype, quant=self.quant,
+                   name="patch_to_embedding")(features)
 
         if self.with_cls:
             cls = self.param("cls_token", nn.initializers.normal(1.0),
@@ -151,7 +194,8 @@ class FeaT(nn.Module):
 
         states, attentions = Transformer(
             self.emb_dim, self.depth, self.heads, self.mlp_dim,
-            self.mlp_dropout, dtype=self.dtype, name="transformer")(
+            self.mlp_dropout, dtype=self.dtype, quant=self.quant,
+            name="transformer")(
             x, deterministic=deterministic, return_attn=return_attn,
             mask=mask)
 
@@ -160,12 +204,12 @@ class FeaT(nn.Module):
             h = states[:, i]
             h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
                              name=f"mlp_head{i}_norm")(h)
-            h = nn.Dense(self.mlp_dim, dtype=self.dtype,
-                         name=f"mlp_head{i}_dense0")(h)
+            h = QDense(self.mlp_dim, dtype=self.dtype, quant=self.quant,
+                       name=f"mlp_head{i}_dense0")(h)
             h = nn.gelu(h, approximate=False)
             h = nn.Dropout(self.mlp_dropout)(h, deterministic=deterministic)
-            h = nn.Dense(self.num_classes, dtype=self.dtype,
-                         name=f"mlp_head{i}_dense1")(h)
+            h = QDense(self.num_classes, dtype=self.dtype,
+                       quant=self.quant, name=f"mlp_head{i}_dense1")(h)
             outputs.append(h)
         outputs = jnp.stack(outputs, axis=1)
         return outputs, states, attentions

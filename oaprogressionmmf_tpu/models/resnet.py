@@ -34,6 +34,35 @@ import numpy as np
 ModuleDef = Any
 
 
+# int8 post-training quantization (serving path): see ops/quant.py —
+# measured on-chip the resnet50 3x3 convs at the slice-branch shapes
+# speed up 1.2-2.0x (scripts/exp_int8.py). Only conv contractions
+# quantize; BN/relu/residual math stays in `dtype` and the parameter
+# tree is unchanged, so checkpoints are oblivious.
+from ..ops.quant import quant_conv_apply as _quant_conv_apply  # noqa: E402
+
+
+class QConv(nn.Module):
+    """Drop-in conv for the FE blocks: identical `kernel` param to
+    nn.Conv(use_bias=False), plus the quantized execution modes."""
+
+    features: int
+    kernel_size: tuple
+    strides: tuple = (1, 1)
+    padding: Any = "SAME"
+    dtype: Any = jnp.float32
+    quant: str | None = None
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (kh, kw, x.shape[-1], self.features),
+                            jnp.float32)
+        return _quant_conv_apply(self, x, kernel, self.strides, self.padding,
+                                 1, self.dtype, self.quant)
+
+
 class BasicBlock(nn.Module):
     filters: int
     stride: int
@@ -47,11 +76,14 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         residual = x
+        # explicit Conv_* names: identical tree whether self.conv is
+        # nn.Conv (auto-named Conv_N) or QConv
         y = self.conv(self.filters, (3, 3), strides=(self.stride, self.stride),
-                      padding=((1, 1), (1, 1)))(x)
+                      padding=((1, 1), (1, 1)), name="Conv_0")(x)
         y = self.norm()(y)
         y = nn.relu(y)
-        y = self.conv(self.filters, (3, 3), padding=((1, 1), (1, 1)))(y)
+        y = self.conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
+                      name="Conv_1")(y)
         y = self.norm(scale_init=nn.initializers.ones)(y)
 
         if residual.shape != y.shape:
@@ -79,6 +111,7 @@ class _GroupedConv3x3(nn.Module):
     groups: int
     dense_groups: bool
     dtype: Any = jnp.float32
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -86,7 +119,7 @@ class _GroupedConv3x3(nn.Module):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin // self.groups, self.features),
                             jnp.float32)
-        k = kernel.astype(self.dtype)
+        k = kernel
         groups = self.groups
         if self.dense_groups and groups > 1:
             kh, kw, cing, cout = k.shape
@@ -97,10 +130,9 @@ class _GroupedConv3x3(nn.Module):
             dense = jnp.einsum("hwigc,gj->hwjigc", t, eye)
             k = dense.reshape(kh, kw, groups * cing, cout)
             groups = 1
-        return jax.lax.conv_general_dilated(
-            x, k, self.strides, [(1, 1), (1, 1)],
-            feature_group_count=groups,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return _quant_conv_apply(self, x, k, self.strides,
+                                 [(1, 1), (1, 1)], groups, self.dtype,
+                                 self.quant)
 
 
 class Bottleneck(nn.Module):
@@ -129,7 +161,9 @@ class Bottleneck(nn.Module):
                                 strides=(self.stride, self.stride),
                                 groups=self.groups,
                                 dense_groups=self.dense_groups,
-                                dtype=dt, name="Conv_1")(y)
+                                dtype=dt,
+                                quant=self.conv.keywords.get("quant"),
+                                name="Conv_1")(y)
         else:
             y = self.conv(width, (3, 3),
                           strides=(self.stride, self.stride),
@@ -162,6 +196,7 @@ class _StemConv(nn.Module):
     # (zero-padded-to-8x8) kernel as a 4x4 stride-1 conv — numerically
     # identical, larger contraction dim for the MXU
     space_to_depth: bool = False
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -170,11 +205,15 @@ class _StemConv(nn.Module):
             nn.initializers.variance_scaling(1.0, "fan_in",
                                              "truncated_normal"),
             (7, 7, 3, self.features), jnp.float32)
-        k = kernel.astype(self.dtype)
+        k = kernel
         if x.shape[-1] == 1:
             k = jnp.sum(k, axis=2, keepdims=True)
         elif x.shape[-1] != 3:
             raise ValueError(f"Stem expects 1 or 3 channels, got {x.shape}")
+        if self.quant and not self.space_to_depth:
+            return _quant_conv_apply(self, x, k, (2, 2), [(3, 3), (3, 3)],
+                                     1, self.dtype, self.quant)
+        k = k.astype(self.dtype)
         b, h, w, c = x.shape
         if self.space_to_depth and h % 2 == 0 and w % 2 == 0:
             # y[i,j] = Σ_{a,b} k[a,b]·xpad[2i+a, 2j+b] with pad 3; write
@@ -217,18 +256,28 @@ class ResNetFE(nn.Module):
     dense_groups: bool = True
     # space-to-depth stem (see _StemConv); numerics-identical
     s2d_stem: bool = False
+    # int8 serving quantization: None | "calib" | "int8" (see
+    # _quant_conv_apply). Eval-only; parameter tree is unchanged.
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
-                       param_dtype=jnp.float32)
+        if self.quant and train:
+            raise ValueError("quantized FEs are eval-only (quant=None to "
+                             "train)")
+        if self.quant:
+            conv = partial(QConv, dtype=self.dtype, quant=self.quant)
+        else:
+            conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
+                           param_dtype=jnp.float32)
         norm = partial(nn.BatchNorm, use_running_average=not train,
                        momentum=0.9, epsilon=1e-5, dtype=self.dtype,
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
         x = _StemConv(features=64, dtype=self.dtype,
-                      space_to_depth=self.s2d_stem, name="conv1")(x)
+                      space_to_depth=self.s2d_stem, quant=self.quant,
+                      name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
@@ -254,7 +303,10 @@ class ResNetFE(nn.Module):
         # flagship's 1024-slice CNN batch (15.78/15.75G); whole-stage
         # recompute stores ~2.3G instead of ~5.4G of boundaries at the same
         # recompute cost (each op replayed once either way)
-        if self.remat:
+        if self.remat and not self.quant:
+            # quantized paths are eval-only: no backward pass to remat, and
+            # the calib-mode quant_acts mutation composes more simply
+            # outside the lifted transform
             run_stage = nn.remat(run_stage, static_argnums=(2, 3))
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             x = run_stage(self, x, stage_idx, num_blocks)
@@ -308,6 +360,9 @@ FE_OUT_CHANNELS.update(EXTRA_FE_OUT_CHANNELS)
 # _mrN_cnn_trf.py:97-102)
 FE_STRIDE32 = {"resnet18", "resnet34", "resnet50", "resnext50_32x4d",
                "vgg16", "densenet161"}
+
+# archs with the int8 serving-quantization path (fe.quant config knob)
+QUANT_FE_ARCHS = {"resnet18", "resnet34", "resnet50", "resnext50_32x4d"}
 
 
 # ---------------------------------------------------------------------------

@@ -75,6 +75,14 @@ def interpolate(x: jnp.ndarray, scale_factor) -> jnp.ndarray:
     if len(scale_factor) != spatial:
         raise ValueError("scale_factor length must match spatial rank")
 
+    # NOTE on exact halving (all production downscales are f=0.5 on even
+    # extents, where the interp matrix is exactly [0.5, 0.5] rows): both
+    # "obvious" cheaper forms measured SLOWER than this matmul chain on
+    # v5e at the flagship batch-64 workload — per-axis reshape+mean 52.1
+    # ms and one fused lax.reduce_window 46.3 ms vs 33.9 ms for the
+    # einsums (BENCH_NOTES round 3). The (out, in) contraction rides the
+    # MXU; the pooling forms bottleneck on VPU/layout shuffles. Keep the
+    # matmul form.
     out = x
     for d, f in enumerate(scale_factor):
         axis = 2 + d

@@ -8,9 +8,11 @@ propagation then makes attention head-parallel and inserts the reduce
 collectives over ICI (scaling-book recipe: annotate params, let the
 compiler place collectives):
 
-  * ``to_qkv`` kernel          (d, 3d)      → P(None, "model")
-    (column-parallel: the packed q/k/v head dimension shards, so each
-    model shard owns a contiguous group of heads)
+  * ``to_q``/``to_k``/``to_v`` kernels (d, d) → P(None, "model")
+    (column-parallel: each model shard owns a contiguous group of heads —
+    EXACT head parallelism; the kernels are unpacked precisely so this
+    does not depend on GSPMD propagating through a packed (3, h, dh)
+    reshape)
   * ``to_out`` kernel          (d, d)       → P("model", None)
     (row-parallel: consumes the head-sharded activations, psum output)
   * FeedForward Dense_0/Dense_1 (d→mlp→d)   → column / row parallel
@@ -34,7 +36,7 @@ def _spec_for(path, leaf) -> P:
     last = names[-1]
     joined = set(names)
 
-    if "to_qkv" in joined and last == "kernel":
+    if joined & {"to_q", "to_k", "to_v", "to_qkv"} and last == "kernel":
         return P(None, "model")
     if "to_out" in joined:
         if last == "kernel":

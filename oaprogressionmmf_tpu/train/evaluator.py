@@ -64,8 +64,67 @@ class ProgressionEvaluator:
         if ignore:
             self.fold_idcs = [i for i in self.fold_idcs if i not in ignore]
 
+        # int8 serving quantization (testing.quant=int8): per-fold
+        # activation-scale calibration on the first test batch, then the
+        # quantized graph for the remaining batches (ops/quant.py)
+        self.quant = str(config.testing.get("quant", "none") or "none")
+        if self.quant not in ("none", "int8"):
+            raise ValueError(f"testing.quant={self.quant!r}: use none|int8")
+        self._quant_rt = (self._build_quant_runtime(compute_dtype)
+                          if self.quant == "int8" else None)
+
         if config.testing.get("describe_data", False):
             self.describe_data()
+
+    def _build_quant_runtime(self, compute_dtype):
+        import json as _json
+        from types import SimpleNamespace
+
+        from ..models import dict_models
+
+        model_cfg = (self.config.model.to_dict()
+                     if hasattr(self.config.model, "to_dict")
+                     else dict(self.config.model))
+
+        def with_quant(mode):
+            cfg = _json.loads(_json.dumps(model_cfg, default=str))
+            fe = cfg.get("fe") or {}
+            if "arch" in fe:
+                fe["quant"] = mode
+            else:
+                for v in fe.values():
+                    if isinstance(v, dict) and "arch" in v:
+                        v["quant"] = mode
+            if isinstance(cfg.get("agg"), dict) and "depth" in cfg["agg"]:
+                cfg["agg"]["quant"] = mode
+            return cfg
+
+        m_cal = dict_models[model_cfg["name"]](
+            config=with_quant("calib"), compute_dtype=compute_dtype)
+        m_q = dict_models[model_cfg["name"]](
+            config=with_quant("int8"), compute_dtype=compute_dtype)
+        preproc = self.trainer._preproc_eval
+        loss_fn = self.trainer.loss_fn
+
+        @jax.jit
+        def calibrate(params, batch_stats, xs):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            _, muts = m_cal.apply(variables, *preproc(xs), train=False,
+                                  mutable=["quant_acts"])
+            return muts["quant_acts"]
+
+        @jax.jit
+        def eval_step(params, batch_stats, quant_acts, xs, ys):
+            variables = {"params": params, "quant_acts": quant_acts}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
+            out = m_q.apply(variables, *preproc(xs), train=False)
+            logits = out["main"] if isinstance(out, dict) else out
+            return loss_fn(logits, ys), jax.nn.softmax(logits, axis=-1)
+
+        return SimpleNamespace(calibrate=calibrate, eval_step=eval_step)
 
     def describe_data(self, subsets=("sel",)) -> dict:
         """Variable-distribution summary per subset
@@ -115,6 +174,7 @@ class ProgressionEvaluator:
 
         eval_step = self.trainer._eval_step
         loader = self.trainer.loaders["test"]
+        quant_acts = None
 
         trace_ctx = None
         if profile == "trace":
@@ -130,6 +190,14 @@ class ProgressionEvaluator:
             xs = _modality_xs(batch, self.modals)
             ys = batch["target"][:, 0]
             n_valid = batch["_n_valid"]
+
+            if self._quant_rt is not None and quant_acts is None:
+                quant_acts = self._quant_rt.calibrate(params, batch_stats,
+                                                      xs)
+                rt = self._quant_rt
+
+                def eval_step(p, s, x, y, _rt=rt, _qa=quant_acts):
+                    return _rt.eval_step(p, s, _qa, x, y)
 
             if profile == "compute":
                 # thop-equivalent: MACs via XLA cost analysis + param count

@@ -124,12 +124,45 @@ def make_checkpoint_handler(path_root, backend: str = "msgpack",
     raise ValueError(f"Unknown checkpoint backend: {backend}")
 
 
+def migrate_legacy_qkv(tree):
+    """Split legacy fused attention kernels in a restored state dict.
+
+    Checkpoints written before the q/k/v unpacking (models/feat.py) hold
+    one ``to_qkv.kernel`` of shape (d, 3d) per attention block; the
+    current tree expects ``to_q``/``to_k``/``to_v`` of (d, d) each — a
+    pure column split, numerically identical. Returns (tree, n_migrated).
+    """
+    n = 0
+
+    def walk(node):
+        nonlocal n
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k == "to_qkv" and isinstance(v, dict) and "kernel" in v
+                    and getattr(v["kernel"], "ndim", 0) == 2):
+                w = np.asarray(v["kernel"])
+                d = w.shape[0]
+                out["to_q"] = {"kernel": w[:, :d]}
+                out["to_k"] = {"kernel": w[:, d:2 * d]}
+                out["to_v"] = {"kernel": w[:, 2 * d:]}
+                n += 1
+            else:
+                out[k] = walk(v)
+        return out
+
+    return walk(tree), n
+
+
 def load_ckpt(path, target=None):
     """Restore a checkpoint written by either handler.
 
     With ``target`` (a pytree of matching structure), arrays are restored
     into its exact structure; without it, a nested dict is returned.
     Orbax checkpoints are directories; msgpack checkpoints are files.
+    Legacy checkpoints with fused ``to_qkv`` attention kernels are
+    migrated transparently (see :func:`migrate_legacy_qkv`).
     """
     path = Path(path)
     if path.is_dir():
@@ -152,10 +185,21 @@ def load_ckpt(path, target=None):
                     return {k: _lists_to_dicts(v) for k, v in node.items()}
                 return node
 
-            return serialization.from_state_dict(target,
-                                                 _lists_to_dicts(restored))
+            restored = _lists_to_dicts(restored)
+            restored, _ = migrate_legacy_qkv(restored)
+            return serialization.from_state_dict(target, restored)
+        restored, _ = migrate_legacy_qkv(restored)
         return restored
     data = path.read_bytes()
     if target is not None:
-        return serialization.from_bytes(target, data)
-    return serialization.msgpack_restore(data)
+        try:
+            return serialization.from_bytes(target, data)
+        except (ValueError, KeyError):
+            raw = serialization.msgpack_restore(data)
+            raw, n = migrate_legacy_qkv(raw)
+            if not n:
+                raise
+            logger.info(f"Migrated {n} fused to_qkv kernels in {path}")
+            return serialization.from_state_dict(target, raw)
+    restored, _ = migrate_legacy_qkv(serialization.msgpack_restore(data))
+    return restored

@@ -142,8 +142,15 @@ def torch_feat_to_flax(sd: dict, prefix: str, depth: int,
         tr[f"prenorm_1_{d}"] = {
             "scale": np.asarray(sd[f"{tp}.prenorm_1_{d}.weight"]),
             "bias": np.asarray(sd[f"{tp}.prenorm_1_{d}.bias"])}
+        # reference packs q/k/v into one (3d, d) Linear; the flax attention
+        # uses separate kernels (exact tp head-parallelism) — a column
+        # split of the transposed kernel is numerically identical
+        w_qkv = _t(sd[f"{tp}.attn_{d}.to_qkv.weight"])   # (d, 3d)
+        dim = w_qkv.shape[0]
         tr[f"attn_{d}"] = {
-            "to_qkv": {"kernel": _t(sd[f"{tp}.attn_{d}.to_qkv.weight"])},
+            "to_q": {"kernel": w_qkv[:, :dim]},
+            "to_k": {"kernel": w_qkv[:, dim:2 * dim]},
+            "to_v": {"kernel": w_qkv[:, 2 * dim:]},
             "to_out": {
                 "kernel": _t(sd[f"{tp}.attn_{d}.to_out.0.weight"]),
                 "bias": np.asarray(sd[f"{tp}.attn_{d}.to_out.0.bias"])}}
@@ -190,7 +197,8 @@ def flax_feat_to_torch(p: dict, prefix: str) -> dict:
         sd[f"{tp}.prenorm_1_{d}.bias"] = np.asarray(
             tr[f"prenorm_1_{d}"]["bias"])
         sd[f"{tp}.attn_{d}.to_qkv.weight"] = _t(
-            tr[f"attn_{d}"]["to_qkv"]["kernel"])
+            np.concatenate([np.asarray(tr[f"attn_{d}"][k]["kernel"])
+                            for k in ("to_q", "to_k", "to_v")], axis=1))
         sd[f"{tp}.attn_{d}.to_out.0.weight"] = _t(
             tr[f"attn_{d}"]["to_out"]["kernel"])
         sd[f"{tp}.attn_{d}.to_out.0.bias"] = np.asarray(

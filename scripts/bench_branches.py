@@ -82,6 +82,23 @@ def main():
     t_xr = timed("xr_fe(resnext50,350^2,B)",
                  lambda v, x: fe_xr.apply(v, x, train=False), v_xr, x_xr)
 
+    # ---- int8 variants of the three FE branches (fe.quant path) ----
+    def quantized(arch, v, x, tag):
+        fe_cal = FE_ARCHS[arch](with_gap=True, dtype=dtype, quant="calib")
+        v_cal = fe_cal.init(jax.random.key(0), x[:2], train=False)
+        _, muts = jax.jit(
+            lambda vv, xx: fe_cal.apply(vv, xx, train=False,
+                                        mutable=["quant_acts"]))(
+            {**v, "quant_acts": v_cal["quant_acts"]}, x)
+        fe_q = FE_ARCHS[arch](with_gap=True, dtype=dtype, quant="int8")
+        vq = {**v, "quant_acts": muts["quant_acts"]}
+        return timed(tag, lambda vv, xx: fe_q.apply(vv, xx, train=False),
+                     vq, x)
+
+    t_dess_q = quantized("resnet50", v_mr, x_dess, "dess_fe int8")
+    t_t2_q = quantized("resnet50", v_mr, x_t2, "t2_fe int8")
+    t_xr_q = quantized("resnext50_32x4d", v_xr, x_xr, "xr_fe int8")
+
     # ---- FeaT stack: final CLS FeaT, 91 tokens, d=2048, depth 4 ----
     feat = FeaT(num_patches=91, patch_dim=2048, emb_dim=2048, depth=4,
                 heads=8, mlp_dim=2048, num_classes=2, emb_dropout=0.1,
@@ -102,14 +119,20 @@ def main():
         jnp.asarray(rng.rand(batch, 1, 320, 320, 25).astype(np.float32)),
         jnp.asarray(rng.rand(batch, 1, 9).astype(np.float32)),
     )
-    t_pre = timed("preproc+downscale",
-                  lambda _v, *xs: preproc(xs)[1].reshape(batch, -1)[:, :4],
-                  {}, *xs_raw)
+    def pre_all(_v, *xs):
+        # reduce over EVERY modality or XLA dead-code-eliminates branches
+        outs = preproc(xs)
+        return jnp.stack([jnp.sum(o.astype(jnp.float32)) for o in outs])
+
+    t_pre = timed("preproc+downscale", pre_all, {}, *xs_raw)
 
     total = t_dess + t_t2 + t_xr + t_feat + t_pre
+    total_q = t_dess_q + t_t2_q + t_xr_q + t_feat + t_pre
     print(json.dumps({
         "sum_ms": round(total * 1e3, 2),
-        "implied_knees_per_sec": round(batch / total, 1)}))
+        "implied_knees_per_sec": round(batch / total, 1),
+        "sum_ms_int8": round(total_q * 1e3, 2),
+        "implied_int8": round(batch / total_q, 1)}))
 
 
 if __name__ == "__main__":

@@ -14,11 +14,20 @@ for N epochs:
     pieces ProgressionTrainer composes.
 
 Reports step-matched loss trajectories and per-epoch validation AUROC for
-both sides + final held-out AUROC delta. Augmentation is disabled on both
-sides (the stochastic aug RNGs cannot be aligned across frameworks); this
-isolates model/loss/optimizer/BN-dynamics parity.
+both sides + final held-out AUROC delta.
 
-Run (CPU backends, ~5-10 min): python scripts/rehearse_training_parity.py
+Augmentation: by default disabled on both sides (isolates model/loss/
+optimizer/BN-dynamics parity). With a third arg `aug`, the full stochastic
+train stack runs on BOTH sides from the SAME recorded parameters — rotate
+(±15°, p=.5) and gamma (γ∈[0.5,2], p=.5, non-T2 only) params are sampled
+host-side per (epoch, step, sample) and injected into the reference
+transforms' `state` dicts (their `randomize()` is bypassed) and into the
+jax ops — sidestepping the un-alignable framework RNGs while exercising
+the full reference augmentation semantics (RandomCrop excepted: data is
+pre-cropped identically for both sides).
+
+Run (CPU backends): python scripts/rehearse_training_parity.py \
+    [epochs] [xr1|mr1|flagship] [aug]
 """
 
 import importlib.util
@@ -35,7 +44,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 REF = Path("/root/reference/koafusion")
 
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
-FAMILY = sys.argv[2] if len(sys.argv) > 2 else "xr1"   # xr1 | mr1
+FAMILY = sys.argv[2] if len(sys.argv) > 2 else "xr1"   # xr1 | mr1 | flagship
+AUG = len(sys.argv) > 3 and sys.argv[3] == "aug"
 BATCH = 8
 N_TRAIN, N_VAL, N_TEST = 160, 64, 64
 LR_INIT, WEIGHT_DECAY = 1e-4, 1e-4
@@ -67,11 +77,15 @@ def _ref_module(dotted: str):
     return mod
 
 
-def _image_modality(rng, n, shape, y, modality):
-    """Raw image/volume with a label-tracking blob, then unit-range +
-    normalize (the eval preprocessing, identical for both sides)."""
-    from oaprogressionmmf_tpu.ops.preproc import MODALITY_STATS
+FAMILY_MODALITIES = {"xr1": ["xr_pa"], "mr1": ["sag_3d_dess"],
+                     "flagship": ["xr_pa", "sag_3d_dess", "sag_t2_map",
+                                  "clin"]}
+# gamma is applied to every image modality except T2 maps
+GAMMA_MODALITIES = {"xr_pa", "sag_3d_dess", "cor_iw_tse"}
 
+
+def _raw_image(rng, n, shape, y):
+    """Raw image/volume with a label-tracking blob (0..~310 range)."""
     x = rng.rand(*shape).astype(np.float32) * 255.0
     yy, xx = np.mgrid[0:shape[2], 0:shape[3]]
     blob = np.exp(-(((yy - shape[2] // 2) ** 2 +
@@ -79,7 +93,13 @@ def _image_modality(rng, n, shape, y, modality):
     blob = blob[None, None] if len(shape) == 4 else blob[None, None, :, :,
                                                          None]
     sig = (30.0 + 25.0 * y).reshape((n,) + (1,) * (x.ndim - 1))
-    x += sig * blob
+    return x + sig * blob
+
+
+def _norm(x, modality):
+    """Unit-range + normalize (the eval preprocessing)."""
+    from oaprogressionmmf_tpu.ops.preproc import MODALITY_STATS
+
     mean, std = MODALITY_STATS[modality]
     red = tuple(range(1, x.ndim))
     lo = x.min(axis=red, keepdims=True)
@@ -90,31 +110,45 @@ def _image_modality(rng, n, shape, y, modality):
 def make_data():
     """Synthetic modalities with planted label signals. Returns
     ((xs_tuple, y), ...) for train/val/test — xs has one array per model
-    input."""
+    input. Train images stay RAW when AUG (both sides run the full
+    recorded-parameter train stack); val/test are always eval-normalized."""
     rng = np.random.RandomState(7)
     n = N_TRAIN + N_VAL + N_TEST
     y = rng.randint(0, 2, n).astype(np.int64)
-    if FAMILY == "xr1":
-        xs = (_image_modality(rng, n, (n, 1, 64, 64), y, "xr_pa"),)
-    elif FAMILY == "mr1":
-        xs = (_image_modality(rng, n, (n, 1, 64, 64, 3), y, "sag_3d_dess"),)
-    else:  # flagship: xr + dess + t2 + clin
-        clin = rng.randn(n, 1, 9).astype(np.float32)
-        clin[:, 0, 0] += 0.5 * y          # weak clinical signal
-        xs = (
-            _image_modality(rng, n, (n, 1, 64, 64), y, "xr_pa"),
-            _image_modality(rng, n, (n, 1, 64, 64, 2), y, "sag_3d_dess"),
-            _image_modality(rng, n, (n, 1, 64, 64, 2), y, "sag_t2_map"),
-            clin,
-        )
+    raws = []
+    for m in FAMILY_MODALITIES[FAMILY]:
+        if m == "clin":
+            clin = rng.randn(n, 1, 9).astype(np.float32)
+            clin[:, 0, 0] += 0.5 * y          # weak clinical signal
+            raws.append(clin)
+        elif m == "xr_pa":
+            raws.append(_raw_image(rng, n, (n, 1, 64, 64), y))
+        else:
+            ns = 3 if FAMILY == "mr1" else 2
+            raws.append(_raw_image(rng, n, (n, 1, 64, 64, ns), y))
+    norm = [x if m == "clin" else _norm(x, m).astype(np.float32)
+            for m, x in zip(FAMILY_MODALITIES[FAMILY], raws)]
     sl_tr = slice(0, N_TRAIN)
     sl_va = slice(N_TRAIN, N_TRAIN + N_VAL)
     sl_te = slice(N_TRAIN + N_VAL, n)
 
-    def cut(sl):
-        return tuple(x[sl] for x in xs), y[sl]
+    train_xs = raws if AUG else norm
+    return ((tuple(x[sl_tr].astype(np.float32) for x in train_xs), y[sl_tr]),
+            (tuple(x[sl_va] for x in norm), y[sl_va]),
+            (tuple(x[sl_te] for x in norm), y[sl_te]))
 
-    return cut(sl_tr), cut(sl_va), cut(sl_te)
+
+def sample_aug_params(epoch: int, step: int) -> np.ndarray:
+    """(BATCH, n_modalities, 4) [p_rot, theta_rad, p_gamma, gamma] —
+    sampled once host-side, replayed bit-identically on both sides."""
+    rng = np.random.RandomState(424200 + epoch * 1000 + step)
+    n_mod = len(FAMILY_MODALITIES[FAMILY])
+    prm = np.empty((BATCH, n_mod, 4), np.float64)
+    prm[..., 0] = rng.rand(BATCH, n_mod)
+    prm[..., 1] = np.deg2rad(rng.uniform(-15.0, 15.0, (BATCH, n_mod)))
+    prm[..., 2] = rng.rand(BATCH, n_mod)
+    prm[..., 3] = rng.uniform(0.5, 2.0, (BATCH, n_mod))
+    return prm
 
 
 MODEL_CFGS = {
@@ -191,6 +225,42 @@ def run_reference(train, val, test, sd_init):
     model = ref_cls(config=Config(dict(MODEL_CFG)), path_weights=None)
     model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
                            for k, v in sd_init.items()})
+
+    aug_batch = None
+    if AUG:
+        from oaprogressionmmf_tpu.ops.preproc import MODALITY_STATS
+        pt = _ref_module("preproc._pt")
+        unit = pt.PTToUnitRange()
+        rots = {3: pt.PTRotate2D(degree_range=(-15.0, 15.0), prob=0.5),
+                4: pt.PTRotate3DInSlice(degree_range=(-15.0, 15.0),
+                                        prob=0.5)}
+        gam = pt.PTGammaCorrection(gamma_range=(0.5, 2.0), prob=0.5)
+
+        def aug_batch(xb_np, prm):
+            out = []
+            for mi, (m, x) in enumerate(zip(FAMILY_MODALITIES[FAMILY],
+                                            xb_np)):
+                if m == "clin":
+                    out.append(torch.from_numpy(x))
+                    continue
+                mean, std = MODALITY_STATS[m]
+                normt = pt.PTNormalize(mean=[mean], std=[std])
+                imgs = []
+                for bi in range(x.shape[0]):
+                    img = unit(torch.from_numpy(x[bi]))
+                    rot = rots[img.dim()]
+                    # bypass randomize(): inject the recorded parameters
+                    rot.state["p"] = float(prm[bi, mi, 0])
+                    rot.state["theta"] = torch.tensor(
+                        prm[bi, mi, 1], dtype=torch.float32)
+                    img = rot(img)
+                    if m in GAMMA_MODALITIES:
+                        gam.state["p"] = float(prm[bi, mi, 2])
+                        gam.state["gamma"] = float(prm[bi, mi, 3])
+                        img = gam(img)
+                    imgs.append(normt(img))
+                out.append(torch.stack(imgs))
+            return out
     opt = torch.optim.Adam(model.parameters(), lr=LR_INIT,
                            weight_decay=WEIGHT_DECAY)
     sched = optim_mod.CustomWarmupStaticDecayLR(opt, **SCHED)
@@ -215,7 +285,11 @@ def run_reference(train, val, test, sd_init):
         perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
         for s in range(steps):
             idx = perm[s * BATCH:(s + 1) * BATCH]
-            xb = [torch.from_numpy(x[idx]) for x in xs_tr]
+            if AUG:
+                xb = aug_batch([x[idx] for x in xs_tr],
+                               sample_aug_params(epoch, s))
+            else:
+                xb = [torch.from_numpy(x[idx]) for x in xs_tr]
             yb = torch.from_numpy(y_tr[idx])
             opt.zero_grad()
             out = model(*xb)["main"]
@@ -287,6 +361,37 @@ def run_ours(train, val, test):
                           *xb, train=False)
         return jax.nn.softmax(out["main"], axis=-1)[:, 1]
 
+    aug_batch = None
+    if AUG:
+        from oaprogressionmmf_tpu.ops.preproc import (
+            MODALITY_STATS, gamma_correction, normalize, to_unit_range)
+        from oaprogressionmmf_tpu.ops.rotate import (rotate2d,
+                                                     rotate3d_in_slice)
+
+        j_unit = jax.jit(to_unit_range)
+        j_rot = {3: jax.jit(rotate2d), 4: jax.jit(rotate3d_in_slice)}
+        j_gamma = jax.jit(gamma_correction)
+
+        def aug_batch(xb_np, prm):
+            out = []
+            for mi, (m, x) in enumerate(zip(FAMILY_MODALITIES[FAMILY],
+                                            xb_np)):
+                if m == "clin":
+                    out.append(jnp.asarray(x))
+                    continue
+                mean, std = MODALITY_STATS[m]
+                imgs = []
+                for bi in range(x.shape[0]):
+                    img = j_unit(jnp.asarray(x[bi]))
+                    if prm[bi, mi, 0] < 0.5:       # rot prob (ref: p<prob)
+                        img = j_rot[img.ndim](
+                            img, jnp.float32(prm[bi, mi, 1]))
+                    if m in GAMMA_MODALITIES and prm[bi, mi, 2] < 0.5:
+                        img = j_gamma(img, jnp.float32(prm[bi, mi, 3]))
+                    imgs.append(normalize(img, [mean], [std]))
+                out.append(jnp.stack(imgs))
+            return out
+
     def predict(xs):
         outs = [np.asarray(predict_step(
             state.params, state.batch_stats,
@@ -300,9 +405,12 @@ def run_ours(train, val, test):
             perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
             for s in range(steps):
                 idx = perm[s * BATCH:(s + 1) * BATCH]
-                state, loss = train_step(
-                    state, tuple(jnp.asarray(x[idx]) for x in xs_tr),
-                    jnp.asarray(y_tr[idx]))
+                if AUG:
+                    xb = tuple(aug_batch([x[idx] for x in xs_tr],
+                                         sample_aug_params(epoch, s)))
+                else:
+                    xb = tuple(jnp.asarray(x[idx]) for x in xs_tr)
+                state, loss = train_step(state, xb, jnp.asarray(y_tr[idx]))
                 losses.append(float(loss))
             val_aucs.append(auroc(y_va, predict(xs_va)))
         test_auc = auroc(y_te, predict(xs_te))
@@ -321,6 +429,7 @@ def main():
     ld = np.abs(np.asarray(ours_losses) - np.asarray(ref_losses))
     vd = np.abs(np.asarray(ours_val) - np.asarray(ref_val))
     print(json.dumps({
+        "family": FAMILY, "augmentation": "recorded-replay" if AUG else "off",
         "epochs": EPOCHS,
         "steps": len(ours_losses),
         "loss_absdiff_first10_max": round(float(ld[:10].max()), 6),

@@ -131,3 +131,27 @@ def test_checkpoint_backend_factory_rejects_unknown(tmp_path):
     from oaprogressionmmf_tpu.utils.checkpoint import make_checkpoint_handler
     with pytest.raises(ValueError, match="backend"):
         make_checkpoint_handler(tmp_path, backend="nope")
+
+
+def test_legacy_fused_qkv_migration(tmp_path):
+    """Checkpoints from before the q/k/v unpacking (fused to_qkv kernel)
+    restore into the current tree via a column split (load_ckpt
+    migration)."""
+    rng = np.random.RandomState(0)
+    w = rng.rand(6, 18).astype(np.float32)
+    legacy = {"params": {"agg": {"transformer": {"attn_0": {
+        "to_qkv": {"kernel": w},
+        "to_out": {"kernel": np.eye(6, dtype=np.float32)}}}}}}
+    h = CheckpointHandler(tmp_path)
+    p = h.save_new_ckpt(legacy, model_name="M", fold_idx=0, epoch_idx=1)
+
+    target = {"params": {"agg": {"transformer": {"attn_0": {
+        "to_q": {"kernel": np.zeros((6, 6), np.float32)},
+        "to_k": {"kernel": np.zeros((6, 6), np.float32)},
+        "to_v": {"kernel": np.zeros((6, 6), np.float32)},
+        "to_out": {"kernel": np.zeros((6, 6), np.float32)}}}}}}
+    restored = load_ckpt(p, target=target)
+    attn = restored["params"]["agg"]["transformer"]["attn_0"]
+    np.testing.assert_array_equal(attn["to_q"]["kernel"], w[:, :6])
+    np.testing.assert_array_equal(attn["to_k"]["kernel"], w[:, 6:12])
+    np.testing.assert_array_equal(attn["to_v"]["kernel"], w[:, 12:])

@@ -109,3 +109,31 @@ def test_eval_profile_time_percentiles(trained_experiment):
               "time_per_sample_p95"):
         assert k in acc and acc[k] > 0
     assert acc["time_per_sample_p50"] <= acc["time_per_sample_p95"]
+
+
+def test_eval_int8_quant_serving(trained_experiment):
+    """testing.quant=int8: per-fold calibration on the first test batch,
+    quantized graph for eval — predictions stay close to the bf16/f32
+    path (ops/quant.py serving quantization)."""
+    from oaprogressionmmf_tpu.train.evaluator import ProgressionEvaluator
+
+    tmp, config, _ = trained_experiment
+    config["testing"]["folds"] = {"idx": 0, "ignore": []}
+    config["training"]["folds"]["num"] = 2
+    config["testing"]["use_cached"] = False
+
+    ev = ProgressionEvaluator(config)
+    params, stats = ev._restore_fold(0)
+    base = ev.eval_epoch(params, stats)
+
+    config["testing"]["quant"] = "int8"
+    evq = ProgressionEvaluator(config)
+    quant = evq.eval_epoch(params, stats)
+
+    assert quant["exam_knee_id"] == base["exam_knee_id"]
+    pb = np.asarray(base["predict_proba"])
+    pq = np.asarray(quant["predict_proba"])
+    assert pq.shape == pb.shape
+    np.testing.assert_allclose(pq.sum(axis=1), 1.0, atol=1e-5)
+    # int8 tracks the full-precision probabilities closely
+    assert float(np.abs(pq - pb).max()) < 0.05

@@ -36,7 +36,10 @@ def _torch_feat_forward(params, feats, depth, heads, num_outputs):
         ln = tr[f"prenorm_0_{d}"]
         o = torch.nn.functional.layer_norm(x, (dim,), t(ln["scale"]),
                                            t(ln["bias"]), eps=1e-5)
-        qkv = o @ t(tr[f"attn_{d}"]["to_qkv"]["kernel"])
+        # reference fuses qkv into one (d, 3d) Linear; the flax module
+        # stores the column-split kernels — concatenate to reproduce it
+        qkv = o @ torch.cat([t(tr[f"attn_{d}"][kk]["kernel"])
+                             for kk in ("to_q", "to_k", "to_v")], dim=-1)
         q, k, v = qkv.chunk(3, dim=-1)
         q = q.view(B, -1, heads, dim // heads).transpose(1, 2)
         k = k.view(B, -1, heads, dim // heads).transpose(1, 2)

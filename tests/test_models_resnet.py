@@ -158,3 +158,42 @@ def test_s2d_stem_is_numerically_identical():
     np.testing.assert_allclose(np.asarray(m0.apply(variables, x)),
                                np.asarray(m1.apply(variables, x)),
                                atol=2e-5)
+
+
+def test_int8_quant_fe_matches_f32():
+    """int8 serving path (fe.quant): identical parameter tree, calib
+    records positive amax scales, quantized output tracks the f32 forward
+    (per-channel weight + static activation scales)."""
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 64, 64, 1).astype(np.float32) * 2 - 1)
+
+    fe = ResNetFE(stage_sizes=(1, 1), block_cls=Bottleneck, with_gap=True)
+    v = fe.init(jax.random.key(0), x, train=False)
+    ref = fe.apply(v, x, train=False)
+
+    fe_cal = ResNetFE(stage_sizes=(1, 1), block_cls=Bottleneck,
+                      with_gap=True, quant="calib")
+    v_cal = fe_cal.init(jax.random.key(0), x, train=False)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v_cal["params"]))
+    out, muts = fe_cal.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"],
+         "quant_acts": v_cal["quant_acts"]}, x, train=False,
+        mutable=["quant_acts"])
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=1e-5)
+    amax = jax.tree_util.tree_leaves(muts["quant_acts"])
+    assert amax and all(float(a) > 0 for a in amax)
+
+    fe_q = ResNetFE(stage_sizes=(1, 1), block_cls=Bottleneck,
+                    with_gap=True, quant="int8")
+    qout = fe_q.apply({"params": v["params"], "batch_stats": v["batch_stats"],
+                       "quant_acts": muts["quant_acts"]}, x, train=False)
+    r, q = np.asarray(ref).ravel(), np.asarray(qout).ravel()
+    assert np.corrcoef(q, r)[0, 1] > 0.999
+
+    # grouped (ResNeXt-style) and train-mode guard
+    fe_g = ResNetFE(stage_sizes=(1,), block_cls=Bottleneck, groups=4,
+                    base_width=16, with_gap=True, quant="int8")
+    with pytest.raises(ValueError, match="eval-only"):
+        fe_g.apply({"params": {}, "quant_acts": {}}, x, train=True)

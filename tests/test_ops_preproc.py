@@ -207,3 +207,30 @@ def test_fused_eval_preproc_matches_reference_order():
         jax.vmap(ref_fn)(jnp.asarray(x)), tuple(downscale[0])))
     np.testing.assert_allclose(got, want, atol=2e-5)
     assert got.shape == (2, 1, 16, 16, 3)
+
+
+def test_halving_fast_path_matches_matrix_form():
+    """The 0.5-downscale reduce_window fast path equals the general
+    interpolation-matrix form (and hence torch bilinear with
+    align_corners=False at exact halving) up to one-rounding f32
+    reassociation."""
+    from oaprogressionmmf_tpu.ops.resize import _interp_matrix, interpolate
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 1, 12, 10).astype(np.float32) * 255)
+    got = interpolate(x, (0.5, 0.5))
+    mat_r = np.asarray(_interp_matrix(12, 6))
+    mat_c = np.asarray(_interp_matrix(10, 5))
+    want = np.einsum("bcrw,or->bcow", np.asarray(x), mat_r)
+    want = np.einsum("bcow,pw->bcop", want, mat_c)
+    np.testing.assert_allclose(np.asarray(got), want.astype(np.float32),
+                               rtol=1e-6)
+
+    # volumes: (B, CH, R, C, S) with mixed factors
+    v = jnp.asarray(rng.rand(1, 1, 8, 8, 6).astype(np.float32))
+    out = interpolate(v, (0.5, 0.5, 1.0))
+    assert out.shape == (1, 1, 4, 4, 6)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0, :, :, 0],
+        np.asarray(v)[0, 0].reshape(4, 2, 4, 2, 6).mean((1, 3))[:, :, 0],
+        rtol=1e-6)

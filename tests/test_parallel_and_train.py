@@ -100,7 +100,8 @@ def test_tp_param_specs_rules():
 
     params = {
         "agg": {"transformer": {
-            "attn_0": {"to_qkv": {"kernel": 1},
+            "attn_0": {"to_q": {"kernel": 1}, "to_k": {"kernel": 1},
+                       "to_v": {"kernel": 1},
                        "to_out": {"kernel": 1, "bias": 1}},
             "ff_0": {"Dense_0": {"kernel": 1, "bias": 1},
                      "Dense_1": {"kernel": 1, "bias": 1}},
@@ -112,7 +113,8 @@ def test_tp_param_specs_rules():
     }
     specs = tp_param_specs(params)
     t = specs["agg"]["transformer"]
-    assert t["attn_0"]["to_qkv"]["kernel"] == P(None, "model")
+    for kk in ("to_q", "to_k", "to_v"):
+        assert t["attn_0"][kk]["kernel"] == P(None, "model")
     assert t["attn_0"]["to_out"]["kernel"] == P("model", None)
     assert t["attn_0"]["to_out"]["bias"] == P()
     assert t["ff_0"]["Dense_0"]["kernel"] == P(None, "model")
