@@ -83,6 +83,9 @@ def interpolate(x: jnp.ndarray, scale_factor) -> jnp.ndarray:
     # einsums (BENCH_NOTES round 3). The (out, in) contraction rides the
     # MXU; the pooling forms bottleneck on VPU/layout shuffles. Keep the
     # matmul form.
+    # (Axis reordering — innermost/most-reducing first — also measured
+    # slightly WORSE (39.2 ms); XLA already folds the moveaxis into the
+    # dot's dimension permutation. Natural order kept.)
     out = x
     for d, f in enumerate(scale_factor):
         axis = 2 + d

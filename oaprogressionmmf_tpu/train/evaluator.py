@@ -192,8 +192,12 @@ class ProgressionEvaluator:
             n_valid = batch["_n_valid"]
 
             if self._quant_rt is not None and quant_acts is None:
+                # small calibration slice: amax is batch-size-insensitive
+                # and the calib graph's |x| reductions pin full
+                # activations in HBM at large batches
+                xs_cal = tuple(x[:min(16, x.shape[0])] for x in xs)
                 quant_acts = self._quant_rt.calibrate(params, batch_stats,
-                                                      xs)
+                                                      xs_cal)
                 rt = self._quant_rt
 
                 def eval_step(p, s, x, y, _rt=rt, _qa=quant_acts):

@@ -174,6 +174,24 @@ class _Runtime:
         self.train_step = jax.jit(train_step, donate_argnums=(0,))
         self.eval_step = jax.jit(eval_step)
 
+        def train_steps(state: TrainState, xs_stack, ys_stack, keys):
+            """k steps in ONE dispatch (lax.scan over stacked batches).
+
+            Amortizes per-step host dispatch/sync (the per-step loss
+            materialization costs a full round trip per batch — through a
+            remote tunnel that round trip is ~30 ms); losses come back as
+            a (k,) array so the NaN guard and per-batch logging still see
+            every step. Select with ``training.steps_per_dispatch``.
+            """
+            def body(st, inp):
+                xs, ys, key = inp
+                st2, loss, _ = train_step(st, xs, ys, key)
+                return st2, loss
+
+            return jax.lax.scan(body, state, (xs_stack, ys_stack, keys))
+
+        self.train_steps = jax.jit(train_steps, donate_argnums=(0,))
+
 
 _RUNTIME_CACHE: dict = {}
 
@@ -344,6 +362,7 @@ class ProgressionTrainer:
         self._preproc_train = rt.preproc_train
         self._preproc_eval = rt.preproc_eval
         self._train_step = rt.train_step
+        self._train_steps = rt.train_steps
         self._eval_step = rt.eval_step
 
         # per-fold metric-driven LR controller (runtime is shared/stateless)
@@ -480,27 +499,80 @@ class ProgressionTrainer:
     def train_epoch(self, epoch_idx: int) -> dict:
         losses = []
         steps = self.loaders["train"].batches_per_epoch()
-        for step_idx, batch in enumerate(self.loaders["train"].epoch(epoch_idx)):
+        base_key = jax.random.key(self.config.seed_train_val + 1000)
+        # k>1 chains k steps in one jit dispatch (losses still per-step);
+        # debug echo needs per-step logits, so it forces k=1
+        k = int(self.config.training.get("steps_per_dispatch", 1) or 1)
+        if self.config.training.get("debug", False):
+            k = 1
+
+        def handle_losses(step_losses, first_step_idx) -> bool:
+            for j, loss in enumerate(step_losses):
+                loss = float(loss)
+                losses.append(loss)
+                if not np.isfinite(loss):
+                    # NaN guard (SURVEY §5.2): fail loudly, don't train on
+                    logger.error(f"Non-finite loss at epoch {epoch_idx} "
+                                 f"step {first_step_idx + j}; stopping "
+                                 f"epoch")
+                    return False
+                self.tb.scalar(f"fold_{self.fold_idx}/loss_prog_batch/train",
+                               loss,
+                               epoch_idx * steps + first_step_idx + j)
+            return True
+
+        pending: list = []          # [(xs, ys, key)] awaiting a k-chunk
+        pending_first = 0
+
+        def flush() -> bool:
+            nonlocal pending, pending_first
+            if not pending:
+                return True
+            if len(pending) < k:
+                # ragged tail: per-step dispatch reuses the single-step
+                # compile instead of paying a fresh scan compile per
+                # distinct remainder length
+                ok = True
+                for j, (xs, ys, key) in enumerate(pending):
+                    self.state, loss, _ = self._train_step(self.state, xs,
+                                                           ys, key)
+                    ok = handle_losses([loss], pending_first + j)
+                    if not ok:
+                        break
+            else:
+                xs_stack = tuple(
+                    jnp.stack([p[0][i] for p in pending])
+                    for i in range(len(pending[0][0])))
+                ys_stack = jnp.stack([p[1] for p in pending])
+                keys = jnp.stack([p[2] for p in pending])
+                self.state, step_losses = self._train_steps(
+                    self.state, xs_stack, ys_stack, keys)
+                ok = handle_losses(np.asarray(step_losses), pending_first)
+            pending = []
+            return ok
+
+        for step_idx, batch in enumerate(
+                self.loaders["train"].epoch(epoch_idx)):
             xs = _modality_xs(batch, self.modals)
             ys = batch["target"][:, 0]
-            key = jax.random.fold_in(
-                jax.random.key(self.config.seed_train_val + 1000),
-                epoch_idx * steps + step_idx)
-            self.state, loss, logits = self._train_step(self.state, xs, ys,
-                                                         key)
-            loss = float(loss)
-            if not np.isfinite(loss):
-                # NaN guard (SURVEY §5.2): fail loudly instead of training on
-                logger.error(f"Non-finite loss at epoch {epoch_idx} "
-                             f"step {step_idx}; stopping epoch")
-                losses.append(loss)
-                break
-            if self.config.training.get("debug", False):
-                logger.info(f"Pred: {np.argmax(np.asarray(logits), axis=1)}")
-                logger.info(f"True: {np.asarray(ys)}")
-            losses.append(loss)
-            self.tb.scalar(f"fold_{self.fold_idx}/loss_prog_batch/train",
-                           loss, epoch_idx * steps + step_idx)
+            key = jax.random.fold_in(base_key, epoch_idx * steps + step_idx)
+            if k <= 1:
+                self.state, loss, logits = self._train_step(self.state, xs,
+                                                            ys, key)
+                if self.config.training.get("debug", False):
+                    logger.info(
+                        f"Pred: {np.argmax(np.asarray(logits), axis=1)}")
+                    logger.info(f"True: {np.asarray(ys)}")
+                if not handle_losses([loss], step_idx):
+                    break
+            else:
+                if not pending:
+                    pending_first = step_idx
+                pending.append((xs, ys, key))
+                if len(pending) == k and not flush():
+                    break
+        else:
+            flush()
         return {"loss_prog": float(np.mean(losses)) if losses else np.nan}
 
     def val_epoch(self, epoch_idx: int) -> dict:

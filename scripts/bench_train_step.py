@@ -128,7 +128,31 @@ def main():
     t_step = (time.perf_counter() - t0) / n_steps
     print(json.dumps({"stage": "C_full_train_step_per_dispatch",
                       "ms": round(t_step * 1e3, 1),
-                      "knees_per_sec": round(batch / t_step, 1)}))
+                      "knees_per_sec": round(batch / t_step, 1)}),
+          flush=True)
+
+    # ---- D: k steps chained in ONE dispatch (training.steps_per_dispatch)
+    # reuses the post-C state (a pristine copy cannot coexist with the
+    # step's HBM footprint)
+    k = 4
+    xs_stack = tuple(jnp.stack([x] * k) for x in xs)
+    ys_stack = jnp.stack([ys] * k)
+    keys = jnp.stack([jax.random.fold_in(jax.random.key(2), i)
+                      for i in range(k)])
+    state3, losses = rt.train_steps(state2, xs_stack, ys_stack, keys)
+    np.asarray(losses)
+    state3, losses = rt.train_steps(state3, xs_stack, ys_stack, keys)
+    np.asarray(losses)
+    t0 = time.perf_counter()
+    n_chunks = max(1, n_steps // k)
+    for _ in range(n_chunks):
+        state3, losses = rt.train_steps(state3, xs_stack, ys_stack, keys)
+        np.asarray(losses)
+    t_chunk = (time.perf_counter() - t0) / (n_chunks * k)
+    print(json.dumps({"stage": f"D_train_steps_chained_k{k}",
+                      "ms_per_step": round(t_chunk * 1e3, 1),
+                      "knees_per_sec": round(batch / t_chunk, 1)}),
+          flush=True)
 
 
 if __name__ == "__main__":
