@@ -93,9 +93,9 @@ def main():
     # timing at the resnet50@160^2 stage shapes (4096-slice dess batch)
     # tile_b sized so in+out+weights blocks fit VMEM (~16MB):
     #   out block = TB*H*W*Cout*4 (int32) dominates
-    for (H2, W2, C2, tag, TB2) in ((20, 20, 128, "stage2", 16),
-                                   (10, 10, 256, "stage3", 32),
-                                   (5, 5, 512, "stage4", 64)):
+    for (H2, W2, C2, tag, TB2) in ((20, 20, 128, "stage2", 8),
+                                   (10, 10, 256, "stage3", 16),
+                                   (5, 5, 512, "stage4", 32)):
         B2 = 4096
         x = rng.randint(-30, 30, (B2, H2, W2, C2)).astype(np.int8)
         w = rng.randint(-30, 30, (3, 3, C2, C2)).astype(np.int8)
