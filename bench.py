@@ -76,7 +76,9 @@ def main():
 
     model = dict_models["XR1MR2C1CnnTrf"](config=model_cfg,
                                           compute_dtype=jnp.bfloat16)
-    preproc = make_preprocess_fn(modals, model_cfg["downscale"], train=False)
+    # fast=use_quant: the bf16-dot downscale joins the int8 serving regime
+    preproc = make_preprocess_fn(modals, model_cfg["downscale"], train=False,
+                                 fast=use_quant)
 
     rng = np.random.RandomState(0)
     # XR and DESS arrive as uint8 (the prepared trees store uint8 and the

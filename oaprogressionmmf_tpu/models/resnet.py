@@ -259,6 +259,11 @@ class ResNetFE(nn.Module):
     # int8 serving quantization: None | "calib" | "int8" (see
     # _quant_conv_apply). Eval-only; parameter tree is unchanged.
     quant: str | None = None
+    # profiling aid: truncate the forward after "stem" or "stage<k>" —
+    # apply() with the FULL variables dict still works (later params are
+    # simply unused), letting per-stage timings be measured by prefix
+    # differencing (scripts/bench_fe_stages.py). Never set in production.
+    stop_after: str | None = None
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -281,6 +286,8 @@ class ResNetFE(nn.Module):
         x = norm(name="bn1")(x)
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stop_after == "stem":
+            return jnp.mean(x, axis=(1, 2)).astype(self.dtype)
 
         def run_stage(mdl, x, stage_idx, num_blocks):
             for block_idx in range(num_blocks):
@@ -310,6 +317,8 @@ class ResNetFE(nn.Module):
             run_stage = nn.remat(run_stage, static_argnums=(2, 3))
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             x = run_stage(self, x, stage_idx, num_blocks)
+            if self.stop_after == f"stage{stage_idx + 1}":
+                return jnp.mean(x, axis=(1, 2)).astype(self.dtype)
 
         if self.with_gap:
             x = jnp.mean(x, axis=(1, 2))

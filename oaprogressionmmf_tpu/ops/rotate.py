@@ -75,8 +75,63 @@ def rotate3d_in_slice(volume: jnp.ndarray, theta: jnp.ndarray) -> jnp.ndarray:
 
     Matches PTRotate3DInSlice: a single angle applied per-slice in the
     row-column plane (koafusion/preproc/_pt.py:283-293).
+
+    TPU formulation: the 4 bilinear taps share their (row, col) indices
+    across the untouched slice axis, so instead of per-slice scalar
+    gathers (VPU-serial, dominated the full-res augment at ~585 ms/batch)
+    each tap is ONE row-gather of S-wide lanes from a (R*C, S) view —
+    S=128 for DESS is exactly the lane width. Identical indices, weights,
+    tap-sum order, and zero-padding semantics as the per-slice form (the
+    weight product wy*wx is pre-folded — ≤1 ulp reassociation).
     """
     ch, H, W, S = volume.shape
     gx, gy = _rotation_grid(theta, H, W)
-    fn = lambda im: _grid_sample_bilinear_2d(im, gx, gy)
-    return jax.vmap(jax.vmap(fn, in_axes=-1, out_axes=-1))(volume)
+    ix = ((gx + 1.0) * W - 1.0) / 2.0
+    iy = ((gy + 1.0) * H - 1.0) / 2.0
+    ix0 = jnp.floor(ix)
+    iy0 = jnp.floor(iy)
+    taps = []
+    for yy, xx, wy, wx in (
+            (iy0, ix0, 1.0, 1.0), (iy0, ix0 + 1.0, 1.0, 0.0),
+            (iy0 + 1.0, ix0, 0.0, 1.0), (iy0 + 1.0, ix0 + 1.0, 0.0, 0.0)):
+        valid = ((xx >= 0) & (xx <= W - 1) & (yy >= 0) & (yy <= H - 1))
+        wx_t = (1.0 - (ix - ix0)) if wx else (ix - ix0)
+        wy_t = (1.0 - (iy - iy0)) if wy else (iy - iy0)
+        xc = jnp.clip(xx, 0, W - 1).astype(jnp.int32)
+        yc = jnp.clip(yy, 0, H - 1).astype(jnp.int32)
+        flat = (yc * W + xc).reshape(-1)
+        # invalid taps are ZEROED on the gathered values (not via a zero
+        # weight): 0·NaN would leak NaN through border taps otherwise
+        taps.append((flat, valid.reshape(-1, 1),
+                     (wy_t * wx_t).reshape(-1, 1)))
+
+    # narrow slice axes (e.g. the 25-slice T2 stack) under-fill the
+    # 128-lane vector and fall off the fast row-gather path (measured
+    # 136 ms vs 26 ms for S=128 at the SAME row count; padding to 64
+    # lanes did not help — the fast path wants a full 128-lane vreg row)
+    # — lane-pad the gathered view to 128 and slice back after
+    def one_channel(img3d):
+        v = img3d.reshape(H * W, S)
+        rows = [jnp.where(valid, jnp.take(v, flat, axis=0), 0.0) * w
+                for flat, valid, w in taps]
+        # same tap-sum order as _grid_sample_bilinear_2d: y0x0+y0x1+y1x0+y1x1
+        out = rows[0] + rows[1] + rows[2] + rows[3]
+        return out.reshape(H, W, S)
+
+    if S < 128:
+        pad = -S % 128
+
+        def one_channel(img3d):  # noqa: F811 — lane-padded variant
+            v = jnp.pad(img3d, ((0, 0), (0, 0), (0, pad))).reshape(
+                H * W, S + pad)
+            # the barrier matters: left fusable, XLA folds the pad into
+            # the gather operand and emits the scalar-gather path anyway
+            # (measured 142 ms); materialized, the row-gather fast path
+            # kicks in (36.7 ms for the batch-16 T2 stack)
+            v = jax.lax.optimization_barrier(v)
+            rows = [jnp.where(valid, jnp.take(v, flat, axis=0), 0.0) * w
+                    for flat, valid, w in taps]
+            out = rows[0] + rows[1] + rows[2] + rows[3]
+            return out.reshape(H, W, S + pad)[..., :S]
+
+    return jax.vmap(one_channel)(volume)

@@ -103,7 +103,11 @@ class ProgressionEvaluator:
             config=with_quant("calib"), compute_dtype=compute_dtype)
         m_q = dict_models[model_cfg["name"]](
             config=with_quant("int8"), compute_dtype=compute_dtype)
-        preproc = self.trainer._preproc_eval
+        # the int8 serving regime also takes the bf16-dot fast downscale
+        # (ops.resize.interpolate_fast; error is dominated by activation
+        # quantization) — the exact f32 chain stays on the non-quant path
+        preproc = make_preprocess_fn(self.modals, self.trainer.downscale,
+                                     train=False, fast=True)
         loss_fn = self.trainer.loss_fn
 
         @jax.jit

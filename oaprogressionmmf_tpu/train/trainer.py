@@ -24,7 +24,7 @@ import numpy as np
 from ..models import MODEL_ARITY, dict_models
 from ..ops.losses import dict_losses
 from ..ops.preproc import make_augment_fn
-from ..ops.resize import interpolate
+from ..ops.resize import interpolate, interpolate_fast
 from ..parallel.mesh import create_mesh
 from ..utils.checkpoint import load_ckpt, make_checkpoint_handler
 from ..utils.metrics import calc_metrics_v2
@@ -216,7 +216,8 @@ def _shared_runtime(config, modals, downscale, steps_per_epoch,
 
 
 def make_preprocess_fn(modals, downscale, train: bool,
-                       augment_full_res: bool | None = None):
+                       augment_full_res: bool | None = None,
+                       fast: bool = False):
     """Per-batch device preprocessing for all modalities, jit-fusable.
 
     Eval path exploits that unit-range and normalization are affine while
@@ -243,6 +244,13 @@ def make_preprocess_fn(modals, downscale, train: bool,
         env = os.environ.get("OAPROG_AUGMENT_FULL_RES")
         # reference-exact ordering unless explicitly disabled
         augment_full_res = True if env is None else env not in ("0", "")
+    # serving-fast downscale (bf16 MXU dots; see ops.resize.interpolate_fast)
+    # — callers enable it with the int8-serving regime; env overrides both
+    # ways for experiments
+    fenv = os.environ.get("OAPROG_FAST_PREPROC")
+    if fenv is not None:
+        fast = fenv not in ("0", "")
+    fast = fast and not train
     from ..ops.preproc import MODALITY_STATS
     aug_fns = [make_augment_fn(m) if train else None for m in modals]
 
@@ -265,11 +273,20 @@ def make_preprocess_fn(modals, downscale, train: bool,
                         x = interpolate(x, tuple(downscale[i]))
             else:
                 red_axes = tuple(range(1, x.ndim))
-                xf = x.astype(jnp.float32)
-                lo = jnp.min(xf, axis=red_axes, keepdims=True)
-                hi = jnp.max(xf, axis=red_axes, keepdims=True)
-                if downscale:
-                    xf = interpolate(xf, tuple(downscale[i]))
+                if fast:
+                    # min/max on the raw dtype (no f32 copy of the volume)
+                    lo = jnp.min(x, axis=red_axes,
+                                 keepdims=True).astype(jnp.float32)
+                    hi = jnp.max(x, axis=red_axes,
+                                 keepdims=True).astype(jnp.float32)
+                    xf = (interpolate_fast(x, tuple(downscale[i]))
+                          if downscale else x.astype(jnp.float32))
+                else:
+                    xf = x.astype(jnp.float32)
+                    lo = jnp.min(xf, axis=red_axes, keepdims=True)
+                    hi = jnp.max(xf, axis=red_axes, keepdims=True)
+                    if downscale:
+                        xf = interpolate(xf, tuple(downscale[i]))
                 mean, std = MODALITY_STATS[m]
                 x = ((xf - lo) / (hi - lo) - mean) / std
             out.append(x)

@@ -35,6 +35,31 @@ def test_interpolate_matches_torch(shape, factor, mode):
     np.testing.assert_allclose(got, want, atol=2e-6)
 
 
+def test_interpolate_fast_close_to_exact():
+    """Serving-fast bf16 resize (ops/resize.py interpolate_fast): same
+    shapes, bounded bf16 rounding vs the exact chain — on uint8-origin
+    volumes the first dot is lossless, intermediate half-integers round to
+    ~1e-2 of the 8-bit range worst case."""
+    from oaprogressionmmf_tpu.ops.resize import interpolate_fast
+
+    rng = np.random.RandomState(0)
+    x = rng.randint(0, 256, (2, 1, 32, 32, 16)).astype(np.uint8)
+    want = np.asarray(interpolate(jnp.asarray(x, jnp.float32),
+                                  (0.5, 0.5, 0.5)))
+    got = np.asarray(interpolate_fast(jnp.asarray(x), (0.5, 0.5, 0.5)))
+    assert got.shape == want.shape
+    assert got.dtype == np.float32
+    # bounded relative-to-range error (bf16 carries round half-integers)
+    np.testing.assert_allclose(got, want, atol=255 * 8e-3)
+
+    x2 = rng.randint(0, 256, (2, 1, 16, 16)).astype(np.uint8)
+    got2 = np.asarray(interpolate_fast(jnp.asarray(x2), (1.0, 0.5)))
+    want2 = np.asarray(interpolate(jnp.asarray(x2, jnp.float32),
+                                   (1.0, 0.5)))
+    # one axis resized: a single bf16 round of the exact half-integers
+    np.testing.assert_allclose(got2, want2, atol=0.5)
+
+
 # ---------------------------------------------------------------------------
 # rotation ↔ torch affine_grid/grid_sample parity
 # ---------------------------------------------------------------------------
@@ -72,6 +97,20 @@ def test_rotate3d_in_slice_matches_torch():
                        0, -1)
     got = np.asarray(rotate3d_in_slice(jnp.asarray(vol), jnp.float32(theta)))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_rotate3d_wide_slice_axis_matches_per_slice():
+    """S>=64 takes the unpadded row-gather path (S<64 is lane-padded —
+    covered by the torch golden test above); both must equal per-slice
+    rotate2d."""
+    rng = np.random.RandomState(3)
+    vol = rng.rand(1, 12, 12, 64).astype(np.float32)
+    theta = jnp.float32(np.deg2rad(9.0))
+    got = np.asarray(rotate3d_in_slice(jnp.asarray(vol), theta))
+    per_slice = np.stack(
+        [np.asarray(rotate2d(jnp.asarray(vol[..., s]), theta))
+         for s in range(64)], axis=-1)
+    np.testing.assert_allclose(got, per_slice, atol=1e-5)
 
 
 # ---------------------------------------------------------------------------
