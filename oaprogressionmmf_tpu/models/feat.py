@@ -23,6 +23,11 @@ import jax.numpy as jnp
 from ..ops.flash_attention import attention_reference, flash_attention
 from ..ops.quant import quant_dense_apply
 
+# attn_impl="auto" switches from XLA dots to the Pallas flash kernel at
+# this (static) token count — below it the kernel's grid/padding overhead
+# dominates (exp_feat_opts.py)
+AUTO_FLASH_MIN_SEQ = 256
+
 
 class QDense(nn.Module):
     """Drop-in nn.Dense with the int8 serving modes (ops/quant.py):
@@ -35,12 +40,16 @@ class QDense(nn.Module):
     quant: str | None = None
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, return_kernel: bool = False):
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (x.shape[-1], self.features), jnp.float32)
         bias = (self.param("bias", nn.initializers.zeros,
                            (self.features,), jnp.float32)
                 if self.use_bias else None)
+        if return_kernel:
+            # parameter access without applying (the fused-qkv serving
+            # path concatenates kernels and runs one dot)
+            return kernel, bias
         return quant_dense_apply(self, x, kernel, bias, self.dtype,
                                  self.quant)
 
@@ -71,6 +80,19 @@ class Attention(nn.Module):
     dropout: float = 0.0
     dtype: Any = jnp.float32
     quant: str | None = None
+    # attention implementation (numerics-identical; exp_feat_opts.py,
+    # batch 64 / 91 tokens / d2048: dots 11.4 ms vs flash 13.6):
+    #   "auto"      — plain XLA dots below AUTO_FLASH_MIN_SEQ tokens
+    #                 (the kernel's grid/padding overhead dominates tiny
+    #                 sequences), Pallas flash at long ones (the 2.4k-token
+    #                 with_gap=false configs, where flash is 1.8x XLA);
+    #   "reference" — always XLA dots; "flash" — always the kernel.
+    # fuse_qkv concatenates the three (d, d) kernels into one (d, 3d) dot
+    # at apply time (params stay split for TP/checkpoints) — measured
+    # SLOWER at the design point (12.4 vs 11.4 ms); kept as a knob with
+    # the negative result recorded.
+    attn_impl: str = "auto"
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -90,15 +112,32 @@ class Attention(nn.Module):
                        quant=self.quant, name=name)(x)
             return jnp.moveaxis(y.reshape(b, n, h, d // h), 1, 2)
 
-        q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
+        if self.fuse_qkv and self.quant is None:
+            # one (d, 3d) dot over the concatenated kernels — identical
+            # math, one big MXU call instead of three (single-chip
+            # serving; TP shards the split kernels instead)
+            kernels = [QDense(self.dim, use_bias=False, dtype=self.dtype,
+                              name=nm)(x, return_kernel=True)[0]
+                       for nm in ("to_q", "to_k", "to_v")]
+            w = jnp.concatenate(kernels, axis=1).astype(self.dtype)
+            y = jnp.dot(x.astype(self.dtype), w)
+            y = y.reshape(b, n, 3, h, d // h)
+            q, k, v = (jnp.moveaxis(y[:, :, i], 1, 2) for i in range(3))
+        else:
+            q, k, v = proj("to_q"), proj("to_k"), proj("to_v")
 
+        use_flash = (self.attn_impl == "flash"
+                     or (self.attn_impl == "auto"
+                         and n >= AUTO_FLASH_MIN_SEQ))
         if mask is not None:
             # reference semantics (_core_trf.py:172-177): pairwise
             # outer-product token mask, excluded scores → −inf
             pair = mask[:, None, :] & mask[:, :, None]
             out, attn = attention_reference(q, k, v, scale, pair_mask=pair)
-        elif return_attn:
+        elif return_attn or not use_flash:
             out, attn = attention_reference(q, k, v, scale)
+            if not return_attn:
+                attn = None
         else:
             out = flash_attention(q, k, v, scale=scale)
             attn = None
@@ -118,6 +157,8 @@ class Transformer(nn.Module):
     dropout: float
     dtype: Any = jnp.float32
     quant: str | None = None
+    attn_impl: str = "flash"
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True,
@@ -128,6 +169,8 @@ class Transformer(nn.Module):
                              name=f"prenorm_0_{d}")(x)
             o, attn = Attention(self.dim, self.heads, self.dropout,
                                 dtype=self.dtype, quant=self.quant,
+                                attn_impl=self.attn_impl,
+                                fuse_qkv=self.fuse_qkv,
                                 name=f"attn_{d}")(
                 o, deterministic=deterministic, return_attn=return_attn,
                 mask=mask)
@@ -160,6 +203,9 @@ class FeaT(nn.Module):
     # int8 serving quantization of the dense stacks (ops/quant.py);
     # eval-only, parameter tree unchanged
     quant: str | None = None
+    # serving attention knobs (see Attention): numerics-identical
+    attn_impl: str = "flash"
+    fuse_qkv: bool = False
 
     @nn.compact
     def __call__(self, features, deterministic: bool = True,
@@ -195,6 +241,7 @@ class FeaT(nn.Module):
         states, attentions = Transformer(
             self.emb_dim, self.depth, self.heads, self.mlp_dim,
             self.mlp_dropout, dtype=self.dtype, quant=self.quant,
+            attn_impl=self.attn_impl, fuse_qkv=self.fuse_qkv,
             name="transformer")(
             x, deterministic=deterministic, return_attn=return_attn,
             mask=mask)

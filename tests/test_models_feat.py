@@ -112,8 +112,10 @@ def test_feat_returns_attention_maps_when_requested():
 
 
 def test_feat_flash_and_reference_paths_agree():
+    # attn_impl="flash" forces the Pallas kernel even at tiny n (the
+    # "auto" default would pick XLA dots below AUTO_FLASH_MIN_SEQ)
     model = FeaT(num_patches=10, patch_dim=8, emb_dim=32, depth=1, heads=2,
-                 mlp_dim=16, num_classes=2)
+                 mlp_dim=16, num_classes=2, attn_impl="flash")
     x = jnp.asarray(np.random.RandomState(3).randn(2, 10, 8), jnp.float32)
     variables = model.init(jax.random.key(0), x)
     out_flash, _, _ = model.apply(variables, x, deterministic=True,
@@ -122,6 +124,24 @@ def test_feat_flash_and_reference_paths_agree():
                                 return_attn=True)
     np.testing.assert_allclose(np.asarray(out_flash), np.asarray(out_ref),
                                atol=1e-4)
+
+
+def test_feat_fused_qkv_matches_split_and_tree_unchanged():
+    """fuse_qkv concatenates the to_q/to_k/to_v kernels into one apply-time
+    dot — same params, same numbers (serving knob; exp_feat_opts.py)."""
+    kw = dict(num_patches=10, patch_dim=8, emb_dim=32, depth=2, heads=2,
+              mlp_dim=16, num_classes=2)
+    base = FeaT(**kw)
+    x = jnp.asarray(np.random.RandomState(4).randn(2, 10, 8), jnp.float32)
+    variables = base.init(jax.random.key(0), x)
+    out0, _, _ = base.apply(variables, x, deterministic=True)
+    fused = FeaT(**kw, fuse_qkv=True)
+    out1, _, _ = fused.apply(variables, x, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1),
+                               atol=1e-5)
+    vf = fused.init(jax.random.key(0), x)
+    assert (jax.tree_util.tree_structure(variables)
+            == jax.tree_util.tree_structure(vf))
 
 
 def test_feat_multi_output_heads():
