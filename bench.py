@@ -91,7 +91,7 @@ def synth_variables(model, preproc, xs):
         name = keys[-1] if keys else ""
         if name in ("scale", "var"):
             arr = np.ones(shape, np.float32)
-        elif name in ("bias", "mean", "amax"):
+        elif name in ("bias", "mean") or name.startswith("amax"):
             arr = np.zeros(shape, np.float32)
         elif len(shape) >= 2:
             fan_in = int(np.prod(shape[:-1]))

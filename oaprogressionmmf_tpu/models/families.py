@@ -94,11 +94,23 @@ def _fe_spatial(shape_in: Sequence[int], arch: str = "resnet50"
 def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
     """FE factory honoring the optional `fe.quant` serving knob
     (int8 post-training quantization, models/resnet.py) on the archs that
-    support it; other archs ignore it."""
+    support it; other archs ignore it. `fe.remat` (default true) selects
+    stage-granular rematerialization in the ResNet FEs — with uint8 host
+    inputs and post-downscale augmentation the flagship step fits HBM
+    without it at batch 16, trading memory back for backward-pass speed
+    (env override OAPROG_FE_REMAT=0/1 for experiments)."""
+    import os
+
     kwargs = {"with_gap": with_gap, "dtype": dtype, "name": name}
     quant = fe_cfg.get("quant")
     if quant and fe_cfg["arch"] in QUANT_FE_ARCHS:
         kwargs["quant"] = quant
+    remat = fe_cfg.get("remat")
+    env = os.environ.get("OAPROG_FE_REMAT")
+    if env is not None:
+        remat = env not in ("0", "")
+    if remat is not None and fe_cfg["arch"] in QUANT_FE_ARCHS:
+        kwargs["remat"] = bool(remat)
     return FE_ARCHS[fe_cfg["arch"]](**kwargs)
 
 

@@ -36,15 +36,36 @@ ModuleDef = Any
 
 # int8 post-training quantization (serving path): see ops/quant.py —
 # measured on-chip the resnet50 3x3 convs at the slice-branch shapes
-# speed up 1.2-2.0x (scripts/exp_int8.py). Only conv contractions
-# quantize; BN/relu/residual math stays in `dtype` and the parameter
-# tree is unchanged, so checkpoints are oblivious.
-from ..ops.quant import quant_conv_apply as _quant_conv_apply  # noqa: E402
+# speed up 1.2-2.0x (scripts/exp_int8.py), and int8 activation RESIDENCY
+# (inter-op tensors materialized int8, dequant/BN/relu/requant fused into
+# the conv epilogues) a further ~8% (scripts/exp_int8_residency.py).
+# BN/relu/residual math runs in f32 inside the fusions; the parameter
+# tree is unchanged, so checkpoints are oblivious. Activation scales live
+# in `quant_acts` keyed by SITE (amax_in/amax_1/... at block scope).
+from ..ops.quant import (QTensor, act_quant,  # noqa: E402
+                         dequant, quant_conv_apply as _quant_conv_apply)
+
+
+def _shape_of(x):
+    return x.data.shape if isinstance(x, QTensor) else x.shape
+
+
+def _max_pool_3x3s2(x):
+    """3x3/s2 max pool, int8-resident aware (max commutes with the
+    monotone quantization, so pooling the int8 data is exact)."""
+    if isinstance(x, QTensor):
+        d = jax.lax.reduce_window(
+            x.data, jnp.asarray(-128, jnp.int8), jax.lax.max,
+            (1, 3, 3, 1), (1, 2, 2, 1),
+            ((0, 0), (1, 1), (1, 1), (0, 0)))
+        return QTensor(d, x.scale)
+    return nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
 
 class QConv(nn.Module):
     """Drop-in conv for the FE blocks: identical `kernel` param to
-    nn.Conv(use_bias=False), plus the quantized execution modes."""
+    nn.Conv(use_bias=False), plus the quantized execution modes (accepts
+    an int8-resident QTensor input in serving mode)."""
 
     features: int
     kernel_size: tuple
@@ -57,7 +78,7 @@ class QConv(nn.Module):
     def __call__(self, x):
         kh, kw = self.kernel_size
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (kh, kw, x.shape[-1], self.features),
+                            (kh, kw, _shape_of(x)[-1], self.features),
                             jnp.float32)
         return _quant_conv_apply(self, x, kernel, self.strides, self.padding,
                                  1, self.dtype, self.quant)
@@ -72,6 +93,7 @@ class BasicBlock(nn.Module):
     base_width: int = 64
     expansion: int = 1
     dense_groups: bool = True    # unused (no grouped convs in BasicBlock)
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -82,16 +104,18 @@ class BasicBlock(nn.Module):
                       padding=((1, 1), (1, 1)), name="Conv_0")(x)
         y = self.norm()(y)
         y = nn.relu(y)
+        y = act_quant(self, y, "amax_1", self.quant)
         y = self.conv(self.filters, (3, 3), padding=((1, 1), (1, 1)),
                       name="Conv_1")(y)
         y = self.norm(scale_init=nn.initializers.ones)(y)
 
-        if residual.shape != y.shape:
+        if _shape_of(residual) != y.shape:
             residual = self.conv(self.filters, (1, 1),
                                  strides=(self.stride, self.stride),
                                  name="downsample_conv")(residual)
             residual = self.norm(name="downsample_bn")(residual)
-        return nn.relu(y + residual)
+        out = nn.relu(y + dequant(residual, y.dtype))
+        return act_quant(self, out, "amax_out", self.quant)
 
 
 class _GroupedConv3x3(nn.Module):
@@ -115,7 +139,7 @@ class _GroupedConv3x3(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = _shape_of(x)[-1]
         kernel = self.param("kernel", nn.initializers.lecun_normal(),
                             (3, 3, cin // self.groups, self.features),
                             jnp.float32)
@@ -144,6 +168,7 @@ class Bottleneck(nn.Module):
     base_width: int = 64
     expansion: int = 4
     dense_groups: bool = True
+    quant: str | None = None
 
     @nn.compact
     def __call__(self, x):
@@ -153,6 +178,7 @@ class Bottleneck(nn.Module):
         y = self.conv(width, (1, 1), name="Conv_0")(x)
         y = self.norm()(y)
         y = nn.relu(y)
+        y = act_quant(self, y, "amax_1", self.quant)
         # stride on the 3x3 (torchvision v1.5 placement); explicit Conv_*
         # names keep the parameter tree identical whichever branch runs
         if self.groups > 1:
@@ -162,7 +188,7 @@ class Bottleneck(nn.Module):
                                 groups=self.groups,
                                 dense_groups=self.dense_groups,
                                 dtype=dt,
-                                quant=self.conv.keywords.get("quant"),
+                                quant=self.quant,
                                 name="Conv_1")(y)
         else:
             y = self.conv(width, (3, 3),
@@ -170,16 +196,18 @@ class Bottleneck(nn.Module):
                           padding=((1, 1), (1, 1)), name="Conv_1")(y)
         y = self.norm()(y)
         y = nn.relu(y)
+        y = act_quant(self, y, "amax_2", self.quant)
         y = self.conv(self.filters * self.expansion, (1, 1),
                       name="Conv_2")(y)
         y = self.norm()(y)
 
-        if residual.shape != y.shape:
+        if _shape_of(residual) != y.shape:
             residual = self.conv(self.filters * self.expansion, (1, 1),
                                  strides=(self.stride, self.stride),
                                  name="downsample_conv")(residual)
             residual = self.norm(name="downsample_bn")(residual)
-        return nn.relu(y + residual)
+        out = nn.relu(y + dequant(residual, y.dtype))
+        return act_quant(self, out, "amax_out", self.quant)
 
 
 class _StemConv(nn.Module):
@@ -206,13 +234,16 @@ class _StemConv(nn.Module):
                                              "truncated_normal"),
             (7, 7, 3, self.features), jnp.float32)
         k = kernel
-        if x.shape[-1] == 1:
+        cin = _shape_of(x)[-1]
+        if cin == 1:
             k = jnp.sum(k, axis=2, keepdims=True)
-        elif x.shape[-1] != 3:
-            raise ValueError(f"Stem expects 1 or 3 channels, got {x.shape}")
+        elif cin != 3:
+            raise ValueError(f"Stem expects 1 or 3 channels, got "
+                             f"{_shape_of(x)}")
         if self.quant and not self.space_to_depth:
             return _quant_conv_apply(self, x, k, (2, 2), [(3, 3), (3, 3)],
                                      1, self.dtype, self.quant)
+        x = dequant(x, self.dtype)   # s2d path stays float
         k = k.astype(self.dtype)
         b, h, w, c = x.shape
         if self.space_to_depth and h % 2 == 0 and w % 2 == 0:
@@ -272,22 +303,32 @@ class ResNetFE(nn.Module):
                              "train)")
         if self.quant:
             conv = partial(QConv, dtype=self.dtype, quant=self.quant)
+            # int8 residency: conv epilogues emit f32 into the BN/relu/
+            # requant fusion — keep the float math f32 (same fusion cost,
+            # better precision than a bf16 round-trip)
+            bn_dtype = jnp.float32
         else:
             conv = partial(nn.Conv, use_bias=False, dtype=self.dtype,
                            param_dtype=jnp.float32)
+            bn_dtype = self.dtype
         norm = partial(nn.BatchNorm, use_running_average=not train,
-                       momentum=0.9, epsilon=1e-5, dtype=self.dtype,
+                       momentum=0.9, epsilon=1e-5, dtype=bn_dtype,
                        param_dtype=jnp.float32)
 
         x = x.astype(self.dtype)
+        x = act_quant(self, x, "amax_in", self.quant)
         x = _StemConv(features=64, dtype=self.dtype,
                       space_to_depth=self.s2d_stem, quant=self.quant,
                       name="conv1")(x)
         x = norm(name="bn1")(x)
         x = nn.relu(x)
-        x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        # requant BEFORE the pool: max commutes with the monotone
+        # quantization, so pooling int8 data is exact and reads 1B/elt
+        x = act_quant(self, x, "amax_stem", self.quant)
+        x = _max_pool_3x3s2(x)
         if self.stop_after == "stem":
-            return jnp.mean(x, axis=(1, 2)).astype(self.dtype)
+            return jnp.mean(dequant(x, jnp.float32),
+                            axis=(1, 2)).astype(self.dtype)
 
         def run_stage(mdl, x, stage_idx, num_blocks):
             for block_idx in range(num_blocks):
@@ -300,6 +341,7 @@ class ResNetFE(nn.Module):
                     groups=mdl.groups,
                     base_width=mdl.base_width,
                     dense_groups=mdl.dense_groups,
+                    quant=mdl.quant,
                     name=f"layer{stage_idx + 1}_{block_idx}",
                 )(x)
             return x
@@ -318,8 +360,10 @@ class ResNetFE(nn.Module):
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             x = run_stage(self, x, stage_idx, num_blocks)
             if self.stop_after == f"stage{stage_idx + 1}":
-                return jnp.mean(x, axis=(1, 2)).astype(self.dtype)
+                return jnp.mean(dequant(x, jnp.float32),
+                                axis=(1, 2)).astype(self.dtype)
 
+        x = dequant(x, self.dtype)
         if self.with_gap:
             x = jnp.mean(x, axis=(1, 2))
         return x.astype(self.dtype)
