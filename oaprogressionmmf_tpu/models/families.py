@@ -108,9 +108,15 @@ def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
     remat = fe_cfg.get("remat")
     env = os.environ.get("OAPROG_FE_REMAT")
     if env is not None:
-        remat = env not in ("0", "")
+        # "0"/"1" or a comma list of stage indices ("0,1" = remat only
+        # stages 1-2)
+        if "," in env or env.strip().isdigit() and env not in ("0", "1"):
+            remat = tuple(int(s) for s in env.split(",") if s.strip())
+        else:
+            remat = env not in ("0", "")
     if remat is not None and fe_cfg["arch"] in QUANT_FE_ARCHS:
-        kwargs["remat"] = bool(remat)
+        kwargs["remat"] = (tuple(remat) if isinstance(remat, (tuple, list))
+                           else bool(remat))
     return FE_ARCHS[fe_cfg["arch"]](**kwargs)
 
 

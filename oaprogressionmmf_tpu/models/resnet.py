@@ -278,10 +278,15 @@ class ResNetFE(nn.Module):
     base_width: int = 64
     with_gap: bool = True
     dtype: Any = jnp.float32
-    # rematerialize residual blocks on backward: the per-slice CNN batch
-    # (B*S up to ~1024 images) would otherwise keep every block activation
-    # live for the gradient pass and overflow HBM at production batch sizes
-    remat: bool = True
+    # rematerialize stages on backward: the per-slice CNN batch (B*S up to
+    # ~1024 images) would otherwise keep every block activation live for
+    # the gradient pass and overflow HBM at production batch sizes
+    # (no-remat flagship batch-16 step needs 17.05G vs 15.75G HBM).
+    # True = all stages; False = none; a sequence of 0-based stage indices
+    # remats only those — e.g. (0, 1) keeps the 800M/400M stage1/2
+    # activation giants out of HBM while sparing stages 3-4 the backward
+    # recompute (config knob fe.remat / env OAPROG_FE_REMAT)
+    remat: Any = True
     # compute grouped 3x3s as block-diagonal dense convs (see
     # _GroupedConv3x3) — ~4x better MXU mapping for ResNeXt on TPU
     dense_groups: bool = True
@@ -346,7 +351,7 @@ class ResNetFE(nn.Module):
                 )(x)
             return x
 
-        # STAGE-granular rematerialization: only the 4 stage boundaries
+        # STAGE-granular rematerialization: only the stage boundaries
         # (plus the stem output) are saved for the backward pass — per-BLOCK
         # remat kept every block input alive and overflowed HBM at the
         # flagship's 1024-slice CNN batch (15.78/15.75G); whole-stage
@@ -356,9 +361,16 @@ class ResNetFE(nn.Module):
             # quantized paths are eval-only: no backward pass to remat, and
             # the calib-mode quant_acts mutation composes more simply
             # outside the lifted transform
-            run_stage = nn.remat(run_stage, static_argnums=(2, 3))
+            run_stage_remat = nn.remat(run_stage, static_argnums=(2, 3))
+        else:
+            run_stage_remat = run_stage
+        remat_stages = (self.remat if isinstance(self.remat, (tuple, list))
+                        else None)
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
-            x = run_stage(self, x, stage_idx, num_blocks)
+            f = run_stage_remat
+            if remat_stages is not None and stage_idx not in remat_stages:
+                f = run_stage
+            x = f(self, x, stage_idx, num_blocks)
             if self.stop_after == f"stage{stage_idx + 1}":
                 return jnp.mean(dequant(x, jnp.float32),
                                 axis=(1, 2)).astype(self.dtype)

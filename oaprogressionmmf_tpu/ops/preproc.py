@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .rotate import rotate2d, rotate3d_in_slice
+from .rotate import (rotate2d, rotate2d_affine, rotate3d_in_slice,
+                     rotate3d_in_slice_affine)
 
 # Per-modality normalization stats (koafusion/datasets/_data_provider.py:
 # 323-338): mean/std measured on the OAI preprocessed intensities.
@@ -109,12 +110,23 @@ def _maybe(p: jnp.ndarray, prob: float, fn, image: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_augment_fn(modality: str, *, degree_range=(-15.0, 15.0),
-                    rot_prob=0.5, gamma_range=(0.5, 2.0), gamma_prob=0.5):
+                    rot_prob=0.5, gamma_range=(0.5, 2.0), gamma_prob=0.5,
+                    fast: bool = False):
     """Per-sample training augmentation: (cropped image, key) → float image.
 
     Input is the host-cropped channel-first array (CH,R,C) for XR or
     (CH,R,C,S) for MRI. Order matches the reference stacks: ToUnitRange →
-    Rotate → [Gamma] → Normalize.
+    Rotate → [Gamma] → Normalize — computed in the folded form
+    ``rot(unit(x)) == a·rot(x) + b·M`` (rotate2d_affine /
+    rotate3d_in_slice_affine): the unit-range pass never materializes and
+    the gamma/normalize chain fuses into the rotation epilogue. Exact up
+    to f32 reassociation.
+
+    ``fast=True`` (the post-downscale augment regime,
+    training.augment_full_res=false) runs the gathers and pointwise math
+    in bfloat16 — half the augment HBM traffic for ~1e-3 value error,
+    below the bf16 cast the model applies to its inputs anyway. The
+    reference-parity path keeps f32.
     """
     if modality == "clin":
         return lambda image, key: image.astype(jnp.float32)
@@ -122,24 +134,31 @@ def make_augment_fn(modality: str, *, degree_range=(-15.0, 15.0),
     with_gamma = modality in MODALITY_WITH_GAMMA
     deg_lo, deg_hi = (math.radians(degree_range[0]),
                       math.radians(degree_range[1]))
+    dt = jnp.bfloat16 if fast else jnp.float32
 
     def augment(image: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         k_rotp, k_theta, k_gp, k_gamma = jax.random.split(key, 4)
-        image = to_unit_range(image)
+        lo = jnp.min(image).astype(jnp.float32)
+        hi = jnp.max(image).astype(jnp.float32)
+        a1 = 1.0 / (hi - lo)
+        b1 = -lo * a1
 
         theta = jax.random.uniform(k_theta, (), minval=deg_lo, maxval=deg_hi)
-        rot = (rotate2d if image.ndim == 3 else rotate3d_in_slice)
+        rot_aff = (rotate2d_affine if image.ndim == 3
+                   else rotate3d_in_slice_affine)
         p_rot = jax.random.uniform(k_rotp, ())
-        image = _maybe(p_rot, rot_prob, lambda im: rot(im, theta), image)
+        rotated = rot_aff(image, theta, a1, b1, dtype=dt)   # unit + rotate
+        plain = image.astype(dt) * a1.astype(dt) + b1.astype(dt)
+        u = jnp.where(p_rot < rot_prob, rotated, plain)
 
         if with_gamma:
             gamma = jax.random.uniform(k_gamma, (), minval=gamma_range[0],
                                        maxval=gamma_range[1])
             p_g = jax.random.uniform(k_gp, ())
-            image = _maybe(p_g, gamma_prob,
-                           lambda im: gamma_correction(im, gamma), image)
+            u = jnp.where(p_g < gamma_prob,
+                          jnp.power(u, (1.0 / gamma).astype(dt)), u)
 
-        return normalize(image, [mean], [std])
+        return (u - jnp.asarray(mean, dt)) / jnp.asarray(std, dt)
 
     return augment
 

@@ -61,7 +61,8 @@ def _resize_axis(x: jnp.ndarray, axis: int, size_out: int) -> jnp.ndarray:
     return jnp.moveaxis(out, -1, axis)
 
 
-def interpolate_fast(x: jnp.ndarray, scale_factor) -> jnp.ndarray:
+def interpolate_fast(x: jnp.ndarray, scale_factor,
+                     out_dtype=jnp.float32) -> jnp.ndarray:
     """Serving-fast resize: bf16 MXU dots with f32 accumulation.
 
     Same separable (out, in)-matrix chain as :func:`interpolate` but the
@@ -95,7 +96,9 @@ def interpolate_fast(x: jnp.ndarray, scale_factor) -> jnp.ndarray:
             moved, mat.T, (((moved.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
         out = jnp.moveaxis(y, -1, axis).astype(jnp.bfloat16)
-    return out.astype(jnp.float32)
+    # out_dtype=bf16 lets a bf16 consumer (the fast train augment) read
+    # the last dot's output without a f32 round-trip materialization
+    return out.astype(out_dtype)
 
 
 def interpolate(x: jnp.ndarray, scale_factor) -> jnp.ndarray:

@@ -252,7 +252,12 @@ def make_preprocess_fn(modals, downscale, train: bool,
         fast = fenv not in ("0", "")
     fast = fast and not train
     from ..ops.preproc import MODALITY_STATS
-    aug_fns = [make_augment_fn(m) if train else None for m in modals]
+    # post-downscale augment (the fast non-parity regime) also runs the
+    # rotation gathers + pointwise math in bf16 (ops.preproc.make_augment_fn
+    # fast mode) — the model casts its inputs to bf16 right after anyway
+    fast_aug = bool(train and not augment_full_res)
+    aug_fns = [make_augment_fn(m, fast=fast_aug) if train else None
+               for m in modals]
 
     def preprocess(xs: tuple, key=None) -> tuple:
         out = []
@@ -264,8 +269,10 @@ def make_preprocess_fn(modals, downscale, train: bool,
                 keys = jax.random.split(jax.random.fold_in(key, i),
                                         x.shape[0])
                 if downscale and not augment_full_res:
-                    x = interpolate(x.astype(jnp.float32),
-                                    tuple(downscale[i]))
+                    # bf16-dot downscale feeding the bf16 fast augment
+                    # (no f32 round-trip between them)
+                    x = interpolate_fast(x, tuple(downscale[i]),
+                                         out_dtype=jnp.bfloat16)
                     x = jax.vmap(aug_fns[i])(x, keys)
                 else:
                     x = jax.vmap(aug_fns[i])(x, keys)

@@ -273,3 +273,65 @@ def test_halving_fast_path_matches_matrix_form():
         np.asarray(out)[0, 0, :, :, 0],
         np.asarray(v)[0, 0].reshape(4, 2, 4, 2, 6).mean((1, 3))[:, :, 0],
         rtol=1e-6)
+
+
+def test_rotate_affine_folding_matches_unfolded():
+    """rotate*_affine(x, th, a, b) == a*rotate(unit-style affine) + b*M:
+    the folded form used by make_augment_fn must equal applying the affine
+    BEFORE the plain rotation (linearity of the bilinear taps; zero-pad
+    borders produce a*0 + b*0 on both sides)."""
+    from oaprogressionmmf_tpu.ops.rotate import (
+        rotate2d, rotate2d_affine, rotate3d_in_slice,
+        rotate3d_in_slice_affine)
+
+    rng = np.random.RandomState(11)
+    theta = jnp.float32(0.21)
+    a, b = np.float32(0.37), np.float32(-0.12)
+
+    vol = jnp.asarray(rng.rand(1, 12, 12, 5).astype(np.float32) * 3 + 1)
+    want = np.asarray(rotate3d_in_slice(a * vol + b, theta))
+    got = np.asarray(rotate3d_in_slice_affine(vol, theta, a, b))
+    np.testing.assert_allclose(got, want, atol=2e-6)
+
+    img = jnp.asarray(rng.rand(1, 13, 9).astype(np.float32) * 2 - 1)
+    want2 = np.asarray(rotate2d(a * img + b, theta))
+    got2 = np.asarray(rotate2d_affine(img, theta, a, b))
+    np.testing.assert_allclose(got2, want2, atol=2e-6)
+
+
+def test_augment_fn_folded_matches_reference_order():
+    """make_augment_fn's folded single-pass form == the explicit reference
+    composition ToUnitRange -> Rotate -> Gamma -> Normalize for the same
+    sampled parameters (f32; fast=True stays within bf16 tolerance)."""
+    from oaprogressionmmf_tpu.ops import make_augment_fn
+    from oaprogressionmmf_tpu.ops.preproc import (MODALITY_STATS,
+                                                  gamma_correction,
+                                                  normalize, to_unit_range)
+    from oaprogressionmmf_tpu.ops.rotate import rotate3d_in_slice
+
+    rng = np.random.RandomState(12)
+    vol = jnp.asarray(rng.rand(1, 16, 16, 4).astype(np.float32) * 7)
+    key = jax.random.key(3)
+
+    # reproduce the augment's own parameter draws
+    k_rotp, k_theta, k_gp, k_gamma = jax.random.split(key, 4)
+    theta = jax.random.uniform(
+        k_theta, (), minval=np.deg2rad(-15.0), maxval=np.deg2rad(15.0))
+    p_rot = float(jax.random.uniform(k_rotp, ()))
+    gamma = jax.random.uniform(k_gamma, (), minval=0.5, maxval=2.0)
+    p_g = float(jax.random.uniform(k_gp, ()))
+
+    x = to_unit_range(vol)
+    if p_rot < 0.5:
+        x = rotate3d_in_slice(x, theta)
+    if p_g < 0.5:
+        x = gamma_correction(x, gamma)
+    mean, std = MODALITY_STATS["sag_3d_dess"]
+    want = np.asarray(normalize(x, [mean], [std]))
+
+    got = np.asarray(make_augment_fn("sag_3d_dess")(vol, key), np.float32)
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+    got_fast = np.asarray(
+        make_augment_fn("sag_3d_dess", fast=True)(vol, key), np.float32)
+    np.testing.assert_allclose(got_fast, want, atol=0.05)
