@@ -155,8 +155,12 @@ def make_augment_fn(modality: str, *, degree_range=(-15.0, 15.0),
             gamma = jax.random.uniform(k_gamma, (), minval=gamma_range[0],
                                        maxval=gamma_range[1])
             p_g = jax.random.uniform(k_gp, ())
+            # the folded rotate can round to -eps where the unfolded form
+            # was exactly 0 (border taps); pow(-eps, 1/g) is NaN — clamp
+            # to the unfolded form's [0, 1] domain
+            u_pos = jnp.maximum(u, jnp.asarray(0.0, dt))
             u = jnp.where(p_g < gamma_prob,
-                          jnp.power(u, (1.0 / gamma).astype(dt)), u)
+                          jnp.power(u_pos, (1.0 / gamma).astype(dt)), u)
 
         return (u - jnp.asarray(mean, dt)) / jnp.asarray(std, dt)
 

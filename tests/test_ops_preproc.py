@@ -334,4 +334,5 @@ def test_augment_fn_folded_matches_reference_order():
 
     got_fast = np.asarray(
         make_augment_fn("sag_3d_dess", fast=True)(vol, key), np.float32)
-    np.testing.assert_allclose(got_fast, want, atol=0.05)
+    # bf16 gathers + bf16 gamma pow: ~0.4% of the normalized range
+    np.testing.assert_allclose(got_fast, want, atol=0.08)
