@@ -135,6 +135,11 @@ def make_augment_fn(modality: str, *, degree_range=(-15.0, 15.0),
     deg_lo, deg_hi = (math.radians(degree_range[0]),
                       math.radians(degree_range[1]))
     dt = jnp.bfloat16 if fast else jnp.float32
+    # OAPROG_SHEAR_ROT=1 (fast path only): volume rotation as 3 banded
+    # MXU matmul shears instead of VPU gathers — same rotation, slightly
+    # different interpolation filtering (ops.rotate.rotate3d_in_slice_shear)
+    import os
+    use_shear = fast and os.environ.get("OAPROG_SHEAR_ROT") in ("1", "true")
 
     def augment(image: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         k_rotp, k_theta, k_gp, k_gamma = jax.random.split(key, 4)
@@ -144,8 +149,13 @@ def make_augment_fn(modality: str, *, degree_range=(-15.0, 15.0),
         b1 = -lo * a1
 
         theta = jax.random.uniform(k_theta, (), minval=deg_lo, maxval=deg_hi)
-        rot_aff = (rotate2d_affine if image.ndim == 3
-                   else rotate3d_in_slice_affine)
+        if image.ndim == 3:
+            rot_aff = rotate2d_affine
+        elif use_shear:
+            from .rotate import rotate3d_in_slice_shear_affine
+            rot_aff = rotate3d_in_slice_shear_affine
+        else:
+            rot_aff = rotate3d_in_slice_affine
         p_rot = jax.random.uniform(k_rotp, ())
         rotated = rot_aff(image, theta, a1, b1, dtype=dt)   # unit + rotate
         plain = image.astype(dt) * a1.astype(dt) + b1.astype(dt)

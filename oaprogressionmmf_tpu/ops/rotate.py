@@ -226,3 +226,74 @@ def rotate2d_affine(image, theta, scale, bias, dtype=jnp.float32):
         return (scale * out + bias_m[:, 0]).reshape(H, W)
 
     return jax.vmap(one_channel)(image)
+
+
+# ---------------------------------------------------------------------------
+# 3-shear matmul rotation (fast-augment alternative, MXU-resident)
+# ---------------------------------------------------------------------------
+
+def _shear_band(offsets, size_in: int, size_out: int, dtype):
+    """(N, size_out, size_in) banded bilinear shift matrices: row o of
+    matrix n samples position o + offsets[n] (zero outside)."""
+    src = jnp.arange(size_out, dtype=jnp.float32)[None, :] + offsets[:, None]
+    i0 = jnp.floor(src)
+    w1 = src - i0                                   # (N, out)
+    cols = jnp.arange(size_in, dtype=jnp.float32)[None, None, :]
+    m = (jnp.where(cols == i0[..., None], (1.0 - w1)[..., None], 0.0)
+         + jnp.where(cols == i0[..., None] + 1.0, w1[..., None], 0.0))
+    return m.astype(dtype)
+
+
+def rotate3d_in_slice_shear(volume, theta, dtype=jnp.bfloat16):
+    """In-slice rotation as three 1-D shears, each a batched banded matmul.
+
+    rot(θ) = shear_x(-tan(θ/2)) · shear_y(sin θ) · shear_x(-tan(θ/2))
+    about the image centre. Each shear is a per-row (or per-column) 1-D
+    bilinear shift, expressed as an (out, in) banded matrix batched over
+    the orthogonal axis — 3 MXU dot_generals instead of 4 VPU row-gathers.
+
+    NOT the same interpolation as the bilinear grid_sample (three chained
+    1-D lerps vs one 2-D lerp): same rotation, slightly different
+    filtering — an augmentation-distribution equivalence, not sample
+    parity, so this is an OPT-IN for the non-parity fast-augment regime
+    (training.shear_rotation / OAPROG_SHEAR_ROT=1). Border handling is
+    zero-fill like the grid-sample form (values sheared from outside
+    vanish; a fully-inside pixel matches the grid-sample rotation to
+    within the filtering difference).
+    """
+    ch, H, W, S = volume.shape
+    t = -jnp.tan(theta / 2.0)
+    s = jnp.sin(theta)
+    # centre offsets in pixel units (centre = (n-1)/2)
+    ys = jnp.arange(H, dtype=jnp.float32) - (H - 1) / 2.0
+    xs = jnp.arange(W, dtype=jnp.float32) - (W - 1) / 2.0
+
+    mx = _shear_band(t * ys, W, W, dtype)       # (H, W, W) row-wise x-shear
+    my = _shear_band(s * xs, H, H, dtype)       # (W, H, H) col-wise y-shear
+
+    def one_channel(v):                          # (H, W, S)
+        v = v.astype(dtype)
+        # shear_x: out[h, o, s] = sum_i mx[h, o, i] * v[h, i, s]
+        v = jax.lax.dot_general(mx, v, (((2,), (1,)), ((0,), (0,))))
+        # shear_y over rows: batch over w — transpose to (W, H, S)
+        v = jnp.transpose(v, (1, 0, 2))
+        v = jax.lax.dot_general(my, v, (((2,), (1,)), ((0,), (0,))))
+        v = jnp.transpose(v, (1, 0, 2))
+        v = jax.lax.dot_general(mx, v, (((2,), (1,)), ((0,), (0,))))
+        return v
+
+    return jax.vmap(one_channel)(volume)
+
+
+def rotate3d_in_slice_shear_affine(volume, theta, scale, bias,
+                                   dtype=jnp.bfloat16):
+    """``scale * rotate3d_in_slice_shear(v) + bias * M`` with M the shear
+    image of a ones-slice (zero-fill borders; see the affine folding note
+    in rotate3d_in_slice_affine)."""
+    ch, H, W, S = volume.shape
+    rot = rotate3d_in_slice_shear(volume, theta, dtype=dtype)
+    ones = jnp.ones((1, H, W, 1), jnp.float32)
+    mask = rotate3d_in_slice_shear(ones, theta, dtype=dtype)[0, ..., 0]
+    return (jnp.asarray(scale, dtype) * rot
+            + (jnp.asarray(bias, jnp.float32)
+               * mask.astype(jnp.float32)).astype(dtype)[..., None])
