@@ -197,3 +197,23 @@ def test_int8_quant_fe_matches_f32():
                     base_width=16, with_gap=True, quant="int8")
     with pytest.raises(ValueError, match="eval-only"):
         fe_g.apply({"params": {}, "quant_acts": {}}, x, train=True)
+
+
+def test_fe_remat_knob_parsing(monkeypatch):
+    """fe.remat accepts bool or a stage-index list; OAPROG_FE_REMAT
+    overrides with 0/1 or a comma list (families._make_fe)."""
+    from oaprogressionmmf_tpu.models.families import _make_fe
+
+    fe_cfg = {"arch": "resnet50", "pretrained": False}
+    monkeypatch.delenv("OAPROG_FE_REMAT", raising=False)
+    assert _make_fe(dict(fe_cfg), True, None, "fe").remat is True  # default
+    assert _make_fe(dict(fe_cfg, remat=False), True, None, "fe").remat \
+        is False
+    assert _make_fe(dict(fe_cfg, remat=[0, 1]), True, None, "fe").remat \
+        == (0, 1)
+    monkeypatch.setenv("OAPROG_FE_REMAT", "0,1")
+    assert _make_fe(dict(fe_cfg), True, None, "fe").remat == (0, 1)
+    monkeypatch.setenv("OAPROG_FE_REMAT", "0")
+    assert _make_fe(dict(fe_cfg), True, None, "fe").remat is False
+    monkeypatch.setenv("OAPROG_FE_REMAT", "1")
+    assert _make_fe(dict(fe_cfg), True, None, "fe").remat is True
