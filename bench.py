@@ -137,12 +137,13 @@ def main():
 
     # int8 serving quantization (ops/quant.py): calibrate activation
     # scales on a small slice, then run the quantized graph.
-    #   int8 (default) — quantized CNN FEs (the hot 95%; ~10 min compile)
-    #   int8-all       — also the FeaT dense stacks (+~3 ms/batch but the
-    #                    combined graph compiles pathologically slowly
-    #                    through this env's remote compile service)
-    #   none           — bf16 path
-    quant = os.environ.get("OAPROG_BENCH_QUANT", "int8")
+    #   int8-all (default) — int8 CNN FEs with activation residency + the
+    #                        FeaT dense stacks: 284.3 knees/s (11.1x).
+    #                        The pre-residency "pathological compile" is
+    #                        gone (~55 s infer-chain compile).
+    #   int8               — quantized CNN FEs only (277.2 knees/s)
+    #   none               — bf16 path (204.8; best single-knee latency)
+    quant = os.environ.get("OAPROG_BENCH_QUANT", "int8-all")
     if quant not in ("int8", "int8-all", "none", ""):
         raise SystemExit(
             f"OAPROG_BENCH_QUANT={quant!r}: use int8|int8-all|none")
