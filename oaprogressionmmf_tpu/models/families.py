@@ -108,15 +108,27 @@ def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
     remat = fe_cfg.get("remat")
     env = os.environ.get("OAPROG_FE_REMAT")
     if env is not None:
-        # "0"/"1" or a comma list of stage indices ("0,1" = remat only
-        # stages 1-2)
-        if "," in env or env.strip().isdigit() and env not in ("0", "1"):
-            remat = tuple(int(s) for s in env.split(",") if s.strip())
+        # "0"/"1", or a comma list of stage entries: "0,1" = stage-remat
+        # stages 1-2 only; a "b" suffix ("0b,1,2,3") selects PER-BLOCK
+        # remat for that stage (see ResNetFE.remat_block_stages)
+        entries = [s.strip() for s in env.split(",") if s.strip()]
+        if len(entries) > 1 or (entries and entries[0] not in ("0", "1")):
+            remat = entries
         else:
             remat = env not in ("0", "")
     if remat is not None and fe_cfg["arch"] in QUANT_FE_ARCHS:
-        kwargs["remat"] = (tuple(remat) if isinstance(remat, (tuple, list))
-                           else bool(remat))
+        if isinstance(remat, (tuple, list)):
+            stage_idxs, block_idxs = [], []
+            for e in remat:
+                s = str(e)
+                if s.endswith("b"):
+                    block_idxs.append(int(s[:-1]))
+                else:
+                    stage_idxs.append(int(s))
+            kwargs["remat"] = tuple(stage_idxs)
+            kwargs["remat_block_stages"] = tuple(block_idxs)
+        else:
+            kwargs["remat"] = bool(remat)
     return FE_ARCHS[fe_cfg["arch"]](**kwargs)
 
 

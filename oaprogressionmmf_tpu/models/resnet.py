@@ -287,6 +287,13 @@ class ResNetFE(nn.Module):
     # activation giants out of HBM while sparing stages 3-4 the backward
     # recompute (config knob fe.remat / env OAPROG_FE_REMAT)
     remat: Any = True
+    # stages rematerialized PER BLOCK instead of per stage (overrides
+    # `remat` for those stages): whole-stage remat must hold the stage's
+    # full intra-block working set during ITS backward replay — at batch
+    # 32 stage1's replay alone overflows HBM; per-block replay holds one
+    # block's tensors at a time (config: "Nb" entries in fe.remat, e.g.
+    # ["0b", 1, 2, 3]; env OAPROG_FE_REMAT=0b,1,2,3)
+    remat_block_stages: Any = ()
     # compute grouped 3x3s as block-diagonal dense convs (see
     # _GroupedConv3x3) — ~4x better MXU mapping for ResNeXt on TPU
     dense_groups: bool = True
@@ -335,20 +342,23 @@ class ResNetFE(nn.Module):
             return jnp.mean(dequant(x, jnp.float32),
                             axis=(1, 2)).astype(self.dtype)
 
+        def run_block(mdl, x, stage_idx, block_idx):
+            stride = 2 if stage_idx > 0 and block_idx == 0 else 1
+            return mdl.block_cls(
+                filters=64 * 2 ** stage_idx,
+                stride=stride,
+                conv=conv,
+                norm=norm,
+                groups=mdl.groups,
+                base_width=mdl.base_width,
+                dense_groups=mdl.dense_groups,
+                quant=mdl.quant,
+                name=f"layer{stage_idx + 1}_{block_idx}",
+            )(x)
+
         def run_stage(mdl, x, stage_idx, num_blocks):
             for block_idx in range(num_blocks):
-                stride = 2 if stage_idx > 0 and block_idx == 0 else 1
-                x = mdl.block_cls(
-                    filters=64 * 2 ** stage_idx,
-                    stride=stride,
-                    conv=conv,
-                    norm=norm,
-                    groups=mdl.groups,
-                    base_width=mdl.base_width,
-                    dense_groups=mdl.dense_groups,
-                    quant=mdl.quant,
-                    name=f"layer{stage_idx + 1}_{block_idx}",
-                )(x)
+                x = run_block(mdl, x, stage_idx, block_idx)
             return x
 
         # STAGE-granular rematerialization: only the stage boundaries
@@ -357,17 +367,24 @@ class ResNetFE(nn.Module):
         # flagship's 1024-slice CNN batch (15.78/15.75G); whole-stage
         # recompute stores ~2.3G instead of ~5.4G of boundaries at the same
         # recompute cost (each op replayed once either way)
-        if self.remat and not self.quant:
+        block_set = tuple(self.remat_block_stages or ())
+        if (self.remat or block_set) and not self.quant:
             # quantized paths are eval-only: no backward pass to remat, and
             # the calib-mode quant_acts mutation composes more simply
             # outside the lifted transform
             run_stage_remat = nn.remat(run_stage, static_argnums=(2, 3))
+            run_block_remat = nn.remat(run_block, static_argnums=(2, 3))
         else:
             run_stage_remat = run_stage
+            run_block_remat = run_block
         remat_stages = (self.remat if isinstance(self.remat, (tuple, list))
                         else None)
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
-            f = run_stage_remat
+            if stage_idx in block_set and not self.quant:
+                for block_idx in range(num_blocks):
+                    x = run_block_remat(self, x, stage_idx, block_idx)
+                continue
+            f = run_stage_remat if self.remat else run_stage
             if remat_stages is not None and stage_idx not in remat_stages:
                 f = run_stage
             x = f(self, x, stage_idx, num_blocks)

@@ -217,3 +217,15 @@ def test_fe_remat_knob_parsing(monkeypatch):
     assert _make_fe(dict(fe_cfg), True, None, "fe").remat is False
     monkeypatch.setenv("OAPROG_FE_REMAT", "1")
     assert _make_fe(dict(fe_cfg), True, None, "fe").remat is True
+
+
+def test_fe_remat_block_suffix_parsing(monkeypatch):
+    from oaprogressionmmf_tpu.models.families import _make_fe
+
+    fe_cfg = {"arch": "resnet50", "pretrained": False}
+    monkeypatch.setenv("OAPROG_FE_REMAT", "0b,1,2,3")
+    fe = _make_fe(dict(fe_cfg), True, None, "fe")
+    assert fe.remat == (1, 2, 3) and fe.remat_block_stages == (0,)
+    monkeypatch.delenv("OAPROG_FE_REMAT")
+    fe2 = _make_fe(dict(fe_cfg, remat=["0b", "1b", 2, 3]), True, None, "fe")
+    assert fe2.remat == (2, 3) and fe2.remat_block_stages == (0, 1)
