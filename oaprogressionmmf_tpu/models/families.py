@@ -108,11 +108,14 @@ def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
     remat = fe_cfg.get("remat")
     env = os.environ.get("OAPROG_FE_REMAT")
     if env is not None:
-        # "0"/"1", or a comma list of stage entries: "0,1" = stage-remat
-        # stages 1-2 only; a "b" suffix ("0b,1,2,3") selects PER-BLOCK
-        # remat for that stage (see ResNetFE.remat_block_stages)
+        # "0"/"1" (booleans), or a comma list of stage entries: "0,1" =
+        # stage-remat stages 1-2 only; a "b" suffix ("0b,1,2,3") selects
+        # PER-BLOCK remat for that stage (ResNetFE.remat_block_stages).
+        # A single-stage LIST needs a trailing comma to disambiguate from
+        # the booleans: "1," remats only stage 1
         entries = [s.strip() for s in env.split(",") if s.strip()]
-        if len(entries) > 1 or (entries and entries[0] not in ("0", "1")):
+        if ("," in env or len(entries) > 1
+                or (entries and entries[0] not in ("0", "1"))):
             remat = entries
         else:
             remat = env not in ("0", "")

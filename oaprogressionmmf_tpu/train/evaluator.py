@@ -77,32 +77,24 @@ class ProgressionEvaluator:
             self.describe_data()
 
     def _build_quant_runtime(self, compute_dtype):
-        import json as _json
         from types import SimpleNamespace
 
         from ..models import dict_models
+        from ..serving import quantized_model_config
 
         model_cfg = (self.config.model.to_dict()
                      if hasattr(self.config.model, "to_dict")
                      else dict(self.config.model))
 
-        def with_quant(mode):
-            cfg = _json.loads(_json.dumps(model_cfg, default=str))
-            fe = cfg.get("fe") or {}
-            if "arch" in fe:
-                fe["quant"] = mode
-            else:
-                for v in fe.values():
-                    if isinstance(v, dict) and "arch" in v:
-                        v["quant"] = mode
-            if isinstance(cfg.get("agg"), dict) and "depth" in cfg["agg"]:
-                cfg["agg"]["quant"] = mode
-            return cfg
-
+        # testing.quant=int8 quantizes the FE branches AND the FeaT dense
+        # stacks (serving.py's "int8-all"); calib builds the recording
+        # graph over the same set of sites
         m_cal = dict_models[model_cfg["name"]](
-            config=with_quant("calib"), compute_dtype=compute_dtype)
+            config=quantized_model_config(model_cfg, "calib"),
+            compute_dtype=compute_dtype)
         m_q = dict_models[model_cfg["name"]](
-            config=with_quant("int8"), compute_dtype=compute_dtype)
+            config=quantized_model_config(model_cfg, "int8-all"),
+            compute_dtype=compute_dtype)
         # the int8 serving regime also takes the bf16-dot fast downscale
         # (ops.resize.interpolate_fast; error is dominated by activation
         # quantization) — the exact f32 chain stays on the non-quant path

@@ -85,74 +85,84 @@ def main():
                        batch_stats=variables.get("batch_stats", {}),
                        opt_state=rt.tx.init(variables["params"]))
 
+    # which stages to run (each costs a multi-minute remote compile;
+    # remat/augment experiments usually only need C or D)
+    import os
+    stages = set(os.environ.get("OAPROG_BENCH_TRAIN_STAGES", "ACD").upper())
+
     # ---- A: augmentation pipeline alone ----
-    preproc_train = make_preprocess_fn(MODALS, MODEL_CFG["downscale"],
-                                       train=True)
+    if "A" in stages:
+        preproc_train = make_preprocess_fn(MODALS, MODEL_CFG["downscale"],
+                                           train=True)
 
-    @jax.jit
-    def aug_chain(xs, key):
-        def body(acc, i):
-            out = preproc_train(xs, jax.random.fold_in(key, i))
-            # reduce over EVERY output fully — a partial reduction lets
-            # XLA slice through the gathers / DCE whole modalities and
-            # report fantasy timings (cost us hours in round 2)
-            s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
-            return acc + s, None
-        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
-                              jnp.arange(iters))
-        return acc
+        @jax.jit
+        def aug_chain(xs, key):
+            def body(acc, i):
+                out = preproc_train(xs, jax.random.fold_in(key, i))
+                # reduce over EVERY output fully — a partial reduction
+                # lets XLA slice through the gathers / DCE whole
+                # modalities and report fantasy timings (cost us hours in
+                # round 2)
+                s = sum(jnp.sum(o.astype(jnp.float32)) for o in out)
+                return acc + s, None
+            acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32),
+                                  jnp.arange(iters))
+            return acc
 
-    key = jax.random.key(0)
-    np.asarray(aug_chain(xs, key)); np.asarray(aug_chain(xs, key))
-    t0 = time.perf_counter()
-    np.asarray(aug_chain(xs, key))
-    t_aug = (time.perf_counter() - t0) / iters
-    print(json.dumps({"stage": "A_augment+downscale",
-                      "ms": round(t_aug * 1e3, 1)}))
+        key = jax.random.key(0)
+        np.asarray(aug_chain(xs, key)); np.asarray(aug_chain(xs, key))
+        t0 = time.perf_counter()
+        np.asarray(aug_chain(xs, key))
+        t_aug = (time.perf_counter() - t0) / iters
+        print(json.dumps({"stage": "A_augment+downscale",
+                          "ms": round(t_aug * 1e3, 1)}), flush=True)
 
     # ---- C: full production train step ----
     # sequential dispatch (the production form): per-step RTT included,
     # exactly what the trainer pays per batch
     state2 = state
-    k = jax.random.key(1)
-    state2, loss, _ = rt.train_step(state2, xs, ys, k)   # compile
-    np.asarray(loss)
-    state2, loss, _ = rt.train_step(state2, xs, ys, k)
-    np.asarray(loss)
-    t0 = time.perf_counter()
     n_steps = max(iters, 4)
-    for i in range(n_steps):
-        state2, loss, _ = rt.train_step(state2, xs, ys,
-                                        jax.random.fold_in(k, i))
+    if "C" in stages:
+        k = jax.random.key(1)
+        state2, loss, _ = rt.train_step(state2, xs, ys, k)   # compile
         np.asarray(loss)
-    t_step = (time.perf_counter() - t0) / n_steps
-    print(json.dumps({"stage": "C_full_train_step_per_dispatch",
-                      "ms": round(t_step * 1e3, 1),
-                      "knees_per_sec": round(batch / t_step, 1)}),
-          flush=True)
+        state2, loss, _ = rt.train_step(state2, xs, ys, k)
+        np.asarray(loss)
+        t0 = time.perf_counter()
+        for i in range(n_steps):
+            state2, loss, _ = rt.train_step(state2, xs, ys,
+                                            jax.random.fold_in(k, i))
+            np.asarray(loss)
+        t_step = (time.perf_counter() - t0) / n_steps
+        print(json.dumps({"stage": "C_full_train_step_per_dispatch",
+                          "ms": round(t_step * 1e3, 1),
+                          "knees_per_sec": round(batch / t_step, 1)}),
+              flush=True)
 
     # ---- D: k steps chained in ONE dispatch (training.steps_per_dispatch)
     # reuses the post-C state (a pristine copy cannot coexist with the
     # step's HBM footprint)
-    k = 4
-    xs_stack = tuple(jnp.stack([x] * k) for x in xs)
-    ys_stack = jnp.stack([ys] * k)
-    keys = jnp.stack([jax.random.fold_in(jax.random.key(2), i)
-                      for i in range(k)])
-    state3, losses = rt.train_steps(state2, xs_stack, ys_stack, keys)
-    np.asarray(losses)
-    state3, losses = rt.train_steps(state3, xs_stack, ys_stack, keys)
-    np.asarray(losses)
-    t0 = time.perf_counter()
-    n_chunks = max(1, n_steps // k)
-    for _ in range(n_chunks):
+    if "D" in stages:
+        k = 4
+        xs_stack = tuple(jnp.stack([x] * k) for x in xs)
+        ys_stack = jnp.stack([ys] * k)
+        keys = jnp.stack([jax.random.fold_in(jax.random.key(2), i)
+                          for i in range(k)])
+        state3, losses = rt.train_steps(state2, xs_stack, ys_stack, keys)
+        np.asarray(losses)
         state3, losses = rt.train_steps(state3, xs_stack, ys_stack, keys)
         np.asarray(losses)
-    t_chunk = (time.perf_counter() - t0) / (n_chunks * k)
-    print(json.dumps({"stage": f"D_train_steps_chained_k{k}",
-                      "ms_per_step": round(t_chunk * 1e3, 1),
-                      "knees_per_sec": round(batch / t_chunk, 1)}),
-          flush=True)
+        t0 = time.perf_counter()
+        n_chunks = max(1, n_steps // k)
+        for _ in range(n_chunks):
+            state3, losses = rt.train_steps(state3, xs_stack, ys_stack,
+                                            keys)
+            np.asarray(losses)
+        t_chunk = (time.perf_counter() - t0) / (n_chunks * k)
+        print(json.dumps({"stage": f"D_train_steps_chained_k{k}",
+                          "ms_per_step": round(t_chunk * 1e3, 1),
+                          "knees_per_sec": round(batch / t_chunk, 1)}),
+              flush=True)
 
 
 if __name__ == "__main__":

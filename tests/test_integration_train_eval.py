@@ -90,6 +90,41 @@ def test_resume_restarts_from_checkpoint(trained_experiment):
     assert trainer.start_epoch >= 1
 
 
+def test_export_and_load_serving_bundle(trained_experiment):
+    """run/export_serving.py + serving.py: checkpoint -> calibrated
+    offline int8 bundle -> loadable predict fn whose probabilities track
+    the full-precision eval path (the evaluator's per-run calibration,
+    made a shipped artifact)."""
+    tmp, config, _ = trained_experiment
+    from oaprogressionmmf_tpu.run.export_serving import run as export_run
+    from oaprogressionmmf_tpu.serving import load_serving_bundle
+    from oaprogressionmmf_tpu.train.evaluator import ProgressionEvaluator
+    from oaprogressionmmf_tpu.train.trainer import _modality_xs
+
+    config["testing"]["folds"] = {"idx": 0, "ignore": None}
+    config["training"]["folds"]["num"] = 2
+    config["testing"]["quant"] = "none"
+    paths = export_run(config)
+    assert len(paths) == 1
+    meta = (paths[0] / "bundle.json").read_text()
+    assert "oaprog-serving-bundle" in meta
+
+    b = load_serving_bundle(paths[0])
+    assert b.meta["quant"] == "int8-all"
+    assert "quant_acts" in b.variables
+
+    # full-precision reference predictions on the first test batch
+    ev = ProgressionEvaluator(config)
+    params, stats = ev._restore_fold(0)
+    batch = next(iter(ev.trainer.loaders["test"].epoch(0)))
+    xs = _modality_xs(batch, ev.modals)
+    _, pb = ev.trainer._eval_step(params, stats, xs,
+                                  batch["target"][:, 0])
+    pq = np.asarray(b.predict(b.variables, xs))
+    np.testing.assert_allclose(pq.sum(axis=1), 1.0, atol=1e-5)
+    assert float(np.abs(pq - np.asarray(pb)).max()) < 0.05
+
+
 def test_eval_profile_time_percentiles(trained_experiment):
     """profile=time reports warmup-excluded mean/p50/p95 per-knee latency
     (BASELINE.json asks for p50; VERDICT r1 weak #5)."""

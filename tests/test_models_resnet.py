@@ -217,6 +217,11 @@ def test_fe_remat_knob_parsing(monkeypatch):
     assert _make_fe(dict(fe_cfg), True, None, "fe").remat is False
     monkeypatch.setenv("OAPROG_FE_REMAT", "1")
     assert _make_fe(dict(fe_cfg), True, None, "fe").remat is True
+    # trailing comma disambiguates a single-stage LIST from the booleans
+    monkeypatch.setenv("OAPROG_FE_REMAT", "1,")
+    assert _make_fe(dict(fe_cfg), True, None, "fe").remat == (1,)
+    monkeypatch.setenv("OAPROG_FE_REMAT", "0,")
+    assert _make_fe(dict(fe_cfg), True, None, "fe").remat == (0,)
 
 
 def test_fe_remat_block_suffix_parsing(monkeypatch):
