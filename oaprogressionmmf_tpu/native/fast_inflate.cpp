@@ -7,22 +7,31 @@
 // GIL is released for the whole call (ctypes), so the BatchLoader's
 // decode threads scale across cores.
 //
+// When libdeflate is present at build time (the image ships it), the
+// whole file is slurped and inflated with libdeflate's one-shot gzip
+// decoder — ~2x the throughput of zlib's streaming inflate on NIfTI
+// volumes (see BENCH_NOTES.md "Round 3: libdeflate decode"). zlib
+// remains the fallback build.
+//
 // Replaces the role of the reference's multi-process joblib/num_workers
 // decode parallelism (koafusion run apps) with threads + native code.
 //
-// Build: make -C oaprogressionmmf_tpu/native   (g++ + zlib only)
+// Build: make -C oaprogressionmmf_tpu/native   (g++ + zlib [+libdeflate])
 
 #include <algorithm>
 #include <cstdint>
 #include <cstdio>
+#include <cstdlib>
 #include <zlib.h>
 
-extern "C" {
+#ifdef HAVE_LIBDEFLATE
+#include <libdeflate.h>
+#endif
 
-// Inflate `path` into out[0..cap). Returns bytes written, or:
-//   -1 open failed, -2 corrupt stream, -3 buffer too small (more data
-//   remained — e.g. a multi-member gzip whose ISIZE undercounts).
-int64_t fnifti_inflate(const char* path, uint8_t* out, int64_t cap) {
+namespace {
+
+// zlib streaming path: inflate `path` into out[0..cap).
+int64_t inflate_zlib(const char* path, uint8_t* out, int64_t cap) {
     gzFile f = gzopen(path, "rb");
     if (!f) return -1;
     gzbuffer(f, 1 << 20);
@@ -39,6 +48,59 @@ int64_t fnifti_inflate(const char* path, uint8_t* out, int64_t cap) {
     int n = gzread(f, &probe, 1);
     gzclose(f);
     return (n > 0) ? -3 : total;
+}
+
+#ifdef HAVE_LIBDEFLATE
+// One-shot path: slurp the compressed file, then decode gzip members
+// back-to-back with libdeflate (handles concatenated members, which
+// ISIZE undercounts — same -3 grow contract as the zlib path).
+int64_t inflate_libdeflate(const char* path, uint8_t* out, int64_t cap) {
+    FILE* f = fopen(path, "rb");
+    if (!f) return -1;
+    if (fseek(f, 0, SEEK_END) != 0) { fclose(f); return -1; }
+    long fsize = ftell(f);
+    if (fsize < 0 || fseek(f, 0, SEEK_SET) != 0) { fclose(f); return -1; }
+    uint8_t* in = (uint8_t*)malloc((size_t)fsize);
+    if (!in) { fclose(f); return -1; }
+    if (fread(in, 1, (size_t)fsize, f) != (size_t)fsize) {
+        free(in); fclose(f); return -1;
+    }
+    fclose(f);
+
+    static thread_local libdeflate_decompressor* dec = nullptr;
+    if (!dec) dec = libdeflate_alloc_decompressor();
+    if (!dec) { free(in); return -1; }
+
+    int64_t in_pos = 0, out_pos = 0;
+    while (in_pos < fsize) {
+        size_t in_used = 0, out_used = 0;
+        libdeflate_result r = libdeflate_gzip_decompress_ex(
+            dec, in + in_pos, (size_t)(fsize - in_pos),
+            out + out_pos, (size_t)(cap - out_pos), &in_used, &out_used);
+        if (r == LIBDEFLATE_INSUFFICIENT_SPACE) { free(in); return -3; }
+        if (r != LIBDEFLATE_SUCCESS) { free(in); return -2; }
+        in_pos += (int64_t)in_used;
+        out_pos += (int64_t)out_used;
+        if (in_used == 0) break;  // no forward progress (trailing junk)
+    }
+    free(in);
+    return out_pos;
+}
+#endif
+
+}  // namespace
+
+extern "C" {
+
+// Inflate `path` into out[0..cap). Returns bytes written, or:
+//   -1 open failed, -2 corrupt stream, -3 buffer too small (more data
+//   remained — e.g. a multi-member gzip whose ISIZE undercounts).
+int64_t fnifti_inflate(const char* path, uint8_t* out, int64_t cap) {
+#ifdef HAVE_LIBDEFLATE
+    return inflate_libdeflate(path, out, cap);
+#else
+    return inflate_zlib(path, out, cap);
+#endif
 }
 
 // Uncompressed size of a single-member gzip (ISIZE field, mod 2^32);
