@@ -103,6 +103,39 @@ int64_t fnifti_inflate(const char* path, uint8_t* out, int64_t cap) {
 #endif
 }
 
+// Gzip-compress data[0..n) to `path` (libdeflate one-shot; the prep
+// apps' write hot loop — R4/R5 write thousands of volumes). Returns
+// compressed bytes written, or -1 on error / when built without
+// libdeflate (caller falls back to the Python codec).
+int64_t fnifti_deflate(const uint8_t* data, int64_t n, const char* path,
+                       int level) {
+#ifdef HAVE_LIBDEFLATE
+    static thread_local libdeflate_compressor* comp = nullptr;
+    static thread_local int comp_level = -1;
+    if (!comp || comp_level != level) {
+        if (comp) libdeflate_free_compressor(comp);
+        comp = libdeflate_alloc_compressor(level);
+        comp_level = level;
+    }
+    if (!comp) return -1;
+    size_t bound = libdeflate_gzip_compress_bound(comp, (size_t)n);
+    uint8_t* out = (uint8_t*)malloc(bound);
+    if (!out) return -1;
+    size_t written = libdeflate_gzip_compress(comp, data, (size_t)n,
+                                              out, bound);
+    if (written == 0) { free(out); return -1; }
+    FILE* f = fopen(path, "wb");
+    if (!f) { free(out); return -1; }
+    size_t ok = fwrite(out, 1, written, f);
+    free(out);
+    if (fclose(f) != 0 || ok != written) return -1;
+    return (int64_t)written;
+#else
+    (void)data; (void)n; (void)path; (void)level;
+    return -1;
+#endif
+}
+
 // Uncompressed size of a single-member gzip (ISIZE field, mod 2^32);
 // returns -1 on IO error.
 int64_t fnifti_gz_isize(const char* path) {

@@ -145,6 +145,12 @@ def write_nifti(data, fname_out, affine=None):
     hdr[344:348] = b"n+1\x00"
 
     payload = bytes(hdr) + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
+    if str(fname_out).endswith(".gz"):
+        # native one-shot gzip write (GIL-free, ~4x the Python codec —
+        # the prep apps' write hot loop); False → Python fallback
+        from .native_io import deflate_gz
+        if deflate_gz(payload, fname_out):
+            return
     with _open_maybe_gz(fname_out, "wb") as f:
         f.write(payload)
 

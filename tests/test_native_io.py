@@ -102,6 +102,39 @@ def test_read_nifti_uses_native_path(tmp_path, lib_available):
     np.testing.assert_array_equal(stack, vol)
 
 
+def test_deflate_roundtrip(tmp_path, lib_available):
+    rng = np.random.RandomState(3)
+    raw = np.concatenate([
+        np.repeat(rng.randint(0, 60, 30_000), 11).astype(np.uint8),
+        rng.randint(0, 256, 77_001).astype(np.uint8),
+    ]).tobytes()
+    p = tmp_path / "w.gz"
+    assert native_io.deflate_gz(raw, p, level=6)
+    with gzip.open(p, "rb") as f:
+        assert f.read() == raw
+    # and back through the native inflate path
+    out = native_io.inflate_gz(p)
+    assert out is not None and out.tobytes() == raw
+    # ndarray input form
+    assert native_io.deflate_gz(np.frombuffer(raw, np.uint8), p, level=1)
+    with gzip.open(p, "rb") as f:
+        assert f.read() == raw
+
+
+def test_write_nifti_gz_native_path(tmp_path, lib_available):
+    from oaprogressionmmf_tpu.utils.formats import (
+        nifti_to_numpy, numpy_to_nifti)
+    rng = np.random.RandomState(4)
+    vol = rng.randint(0, 255, (23, 11, 7)).astype(np.uint8)
+    p = tmp_path / "w.nii.gz"
+    numpy_to_nifti(vol, str(p))          # native compress
+    stack, _ = nifti_to_numpy(str(p))    # native inflate
+    np.testing.assert_array_equal(stack, vol)
+    # the file is a plain gzip stream any consumer can read
+    with gzip.open(p, "rb") as f:
+        assert f.read(4) == b"\x5c\x01\x00\x00"  # sizeof_hdr=348 LE
+
+
 def test_makefile_builds_from_clean(tmp_path):
     """The first-use auto-build contract: `make` from a clean tree links
     (with libdeflate when the toolchain has it, zlib otherwise)."""
