@@ -42,16 +42,23 @@ def main(tmp_dir="/tmp/oaprog_pipe_bench", n_files=6, iters=12):
                 :shape[0], :shape[1], :shape[2]]
             vol = (vol * 200 + rng.rand(*shape) * 20).astype(np.uint8)
             p = tmp / f"{name}_{i}.nii.gz"
-            numpy_to_nifti(vol, str(p))
+            # write like the MRI prep does (ipr_to_ras) so the read-side
+            # remap recovers (rows, cols, slices)
+            numpy_to_nifti(vol, str(p), ipr_to_ras=True)
             paths.append(p)
         size_mb = sum(p.stat().st_size for p in paths) / n_files / 1e6
 
         t0 = time.perf_counter()
         for it in range(iters):
+            # production dataset path: IPR remap (axis reversal — makes
+            # the reader's F-order view C-contiguous for free) + crop,
+            # materialized like the loader's batch assembly would
             vol, _spacings = nifti_to_numpy(str(paths[it % n_files]),
+                                            ras_to_ipr=True,
                                             preserve_dtype=True)
-            crop = center_crop_np(vol[None], (shape[0] - 16, shape[1] - 16,
-                                              shape[2]))
+            crop = np.ascontiguousarray(
+                center_crop_np(vol[None], (shape[0] - 16, shape[1] - 16,
+                                           shape[2])))
         dt = (time.perf_counter() - t0) / iters
         results[name] = {
             "file_mb": round(size_mb, 2),
