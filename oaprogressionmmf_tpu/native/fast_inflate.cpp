@@ -67,8 +67,16 @@ int64_t inflate_libdeflate(const char* path, uint8_t* out, int64_t cap) {
     }
     fclose(f);
 
-    static thread_local libdeflate_decompressor* dec = nullptr;
-    if (!dec) dec = libdeflate_alloc_decompressor();
+    // RAII so the per-thread decompressor is freed on thread exit
+    // (short-lived decode threads would otherwise leak one allocation
+    // each; the persistent pool never noticed).
+    struct DecHolder {
+        libdeflate_decompressor* d = nullptr;
+        ~DecHolder() { if (d) libdeflate_free_decompressor(d); }
+    };
+    static thread_local DecHolder dh;
+    if (!dh.d) dh.d = libdeflate_alloc_decompressor();
+    libdeflate_decompressor* dec = dh.d;
     if (!dec) { free(in); return -1; }
 
     int64_t in_pos = 0, out_pos = 0;
@@ -110,13 +118,18 @@ int64_t fnifti_inflate(const char* path, uint8_t* out, int64_t cap) {
 int64_t fnifti_deflate(const uint8_t* data, int64_t n, const char* path,
                        int level) {
 #ifdef HAVE_LIBDEFLATE
-    static thread_local libdeflate_compressor* comp = nullptr;
-    static thread_local int comp_level = -1;
-    if (!comp || comp_level != level) {
-        if (comp) libdeflate_free_compressor(comp);
-        comp = libdeflate_alloc_compressor(level);
-        comp_level = level;
+    struct CompHolder {  // freed on thread exit (see DecHolder note)
+        libdeflate_compressor* c = nullptr;
+        int level = -1;
+        ~CompHolder() { if (c) libdeflate_free_compressor(c); }
+    };
+    static thread_local CompHolder ch;
+    if (!ch.c || ch.level != level) {
+        if (ch.c) libdeflate_free_compressor(ch.c);
+        ch.c = libdeflate_alloc_compressor(level);
+        ch.level = level;
     }
+    libdeflate_compressor* comp = ch.c;
     if (!comp) return -1;
     size_t bound = libdeflate_gzip_compress_bound(comp, (size_t)n);
     uint8_t* out = (uint8_t*)malloc(bound);

@@ -50,7 +50,11 @@ def read_nifti(fname_in, preserve_dtype: bool = False):
     scl_slope/scl_inter applied, Fortran (column-major) axis order.
     ``preserve_dtype=True`` keeps the stored dtype when no intensity
     scaling is present (uint8/uint16 volumes stay small for host→device
-    transfer).
+    transfer). In that mode the result may be a NON-contiguous
+    Fortran-ordered view keeping the whole inflated file buffer alive
+    (the decode hot path avoids the F→C transpose; `ras_to_ipr` makes
+    it C-contiguous for free) — callers needing C order should
+    ``np.ascontiguousarray`` the result.
     """
     raw = None
     if str(fname_in).endswith(".gz"):

@@ -42,9 +42,19 @@ def _load():
             return None
         try:
             # no-op when up to date; rebuilds when fast_inflate.cpp is
-            # newer than a previously-built .so (stale-symbol safety)
-            subprocess.run(["make", "-C", str(_NATIVE_DIR)],
-                           check=True, capture_output=True, timeout=120)
+            # newer than a previously-built .so (stale-symbol safety).
+            # A make failure (read-only install dir, missing toolchain)
+            # must not disable a previously-built working .so — fall
+            # through to the CDLL attempt; a missing/stale symbol there
+            # raises and is caught by the same fallback handler.
+            try:
+                subprocess.run(["make", "-C", str(_NATIVE_DIR)],
+                               check=True, capture_output=True, timeout=120)
+            except Exception as e:  # noqa: BLE001
+                if not _LIB_PATH.exists():
+                    raise
+                logger.info(f"native rebuild failed ({e}); "
+                            f"trying the existing library")
             lib = ctypes.CDLL(str(_LIB_PATH))
             lib.fnifti_inflate.restype = ctypes.c_int64
             lib.fnifti_inflate.argtypes = [

@@ -9,6 +9,7 @@ graceful fallback on corrupt input. No JAX.
 
 import gzip
 import os
+import shutil
 import subprocess
 
 import numpy as np
@@ -138,6 +139,10 @@ def test_write_nifti_gz_native_path(tmp_path, lib_available):
 def test_makefile_builds_from_clean(tmp_path):
     """The first-use auto-build contract: `make` from a clean tree links
     (with libdeflate when the toolchain has it, zlib otherwise)."""
+    if os.environ.get("OAPROG_NO_NATIVE"):
+        pytest.skip("native path disabled (OAPROG_NO_NATIVE)")
+    if shutil.which("make") is None or shutil.which("g++") is None:
+        pytest.skip("no native toolchain on this host")
     src = native_io._NATIVE_DIR
     build = tmp_path / "native"
     build.mkdir()
