@@ -28,6 +28,30 @@ pre-cropped identically for both sides).
 
 Run (CPU backends): python scripts/rehearse_training_parity.py \
     [epochs] [xr1|mr1|flagship] [aug]
+
+Env knobs (round 4 — de-saturated/production-length protocol):
+  OAPROG_REH_SIDE=both|ref|ours   run one side only. `ref` never imports
+      jax (safe to background next to a foreground jax process); with no
+      matched init available it uses torch's natural init under
+      torch.manual_seed(seed) — the reference's own run-to-run regime —
+      which is exactly what the multi-seed variance baseline measures.
+  OAPROG_REH_SEED=N       shifts init + batch-order + augmentation RNG
+      streams together (both sides see identical streams for a given
+      seed, so matched runs stay matched at any seed).
+  OAPROG_REH_SIGNAL=X     planted-signal boost override (default: 3.0
+      with aug, 1.0 without). Pick X so final AUROC lands ~0.75-0.9:
+      at a saturated operating point (1.0 vs 1.0) AUROC ceiling-clips
+      and parity is unfalsifiable.
+  OAPROG_REH_AMPNOISE=S   per-sample signal-amplitude jitter sigma (same
+      units as the 25-unit class gap, pre-boost; default 0 = off). This
+      caps the BAYES-OPTIMAL test AUROC at ~Phi(25/(S*sqrt(2))) per
+      image modality regardless of training length or signal boost —
+      the principled way to hold the operating point non-saturated
+      while keeping learning itself strong and stable (weakening the
+      boost instead makes training chaotic near full LR).
+  OAPROG_REH_BATCH=N      batch size (default 8; production fusion: 16).
+  OAPROG_REH_NTEST=N      test-cohort size (default 64).
+  OAPROG_REH_OUT=path     append the result JSON as one line.
 """
 
 import importlib.util
@@ -43,11 +67,19 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 REF = Path("/root/reference/koafusion")
 
+import os
+
 EPOCHS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
 FAMILY = sys.argv[2] if len(sys.argv) > 2 else "xr1"   # xr1 | mr1 | flagship
 AUG = len(sys.argv) > 3 and sys.argv[3] == "aug"
-BATCH = 8
-N_TRAIN, N_VAL, N_TEST = 160, 64, 64
+SIDE = os.environ.get("OAPROG_REH_SIDE", "both")
+SEED = int(os.environ.get("OAPROG_REH_SEED", "0"))
+SIGNAL = os.environ.get("OAPROG_REH_SIGNAL")
+AMPNOISE = float(os.environ.get("OAPROG_REH_AMPNOISE", "0"))
+BATCH = int(os.environ.get("OAPROG_REH_BATCH", "8"))
+N_TRAIN, N_VAL = 160, 64
+N_TEST = int(os.environ.get("OAPROG_REH_NTEST", "64"))
+OUT = os.environ.get("OAPROG_REH_OUT")
 LR_INIT, WEIGHT_DECAY = 1e-4, 1e-4
 SCHED = {"epochs_warmup": 5, "epochs_static": 100, "epochs_decay": 1}
 
@@ -84,7 +116,7 @@ FAMILY_MODALITIES = {"xr1": ["xr_pa"], "mr1": ["sag_3d_dess"],
 GAMMA_MODALITIES = {"xr_pa", "sag_3d_dess", "cor_iw_tse"}
 
 
-def _raw_image(rng, n, shape, y):
+def _raw_image(rng, n, shape, y, jit=None):
     """Raw image/volume with a label-tracking blob (0..~310 range)."""
     x = rng.rand(*shape).astype(np.float32) * 255.0
     yy, xx = np.mgrid[0:shape[2], 0:shape[3]]
@@ -98,8 +130,11 @@ def _raw_image(rng, n, shape, y):
     # (base signal: 40 aug epochs ended 0.86 vs 0.91; 2x: 0.96 vs 0.99 — pure
     # run-to-run spread, not framework mismatch: first-10-step losses
     # match to 3.9e-5)
-    boost = 3.0 if AUG else 1.0
-    sig = (boost * (30.0 + 25.0 * y)).reshape((n,) + (1,) * (x.ndim - 1))
+    boost = float(SIGNAL) if SIGNAL is not None else (3.0 if AUG else 1.0)
+    amp = 30.0 + 25.0 * y
+    if jit is not None:
+        amp = amp + jit
+    sig = (boost * amp).reshape((n,) + (1,) * (x.ndim - 1))
     return x + sig * blob
 
 
@@ -122,6 +157,14 @@ def make_data():
     rng = np.random.RandomState(7)
     n = N_TRAIN + N_VAL + N_TEST
     y = rng.randint(0, 2, n).astype(np.int64)
+    # Amplitude jitter is a SUBJECT property (one draw per sample,
+    # shared across modalities) so multimodal fusion cannot average it
+    # out: it overlaps the class-conditional amplitude distributions,
+    # capping Bayes test AUROC at ~Phi(25/(AMPNOISE*sqrt(2))) however
+    # long training runs. Part of the cohort: drawn from the fixed data
+    # rng, identical for every seed/side. No draw when the knob is off
+    # (keeps pre-round-4 data streams bit-identical).
+    jit = AMPNOISE * rng.randn(n) if AMPNOISE > 0 else None
     raws = []
     for m in FAMILY_MODALITIES[FAMILY]:
         if m == "clin":
@@ -129,10 +172,10 @@ def make_data():
             clin[:, 0, 0] += 0.5 * y          # weak clinical signal
             raws.append(clin)
         elif m == "xr_pa":
-            raws.append(_raw_image(rng, n, (n, 1, 64, 64), y))
+            raws.append(_raw_image(rng, n, (n, 1, 64, 64), y, jit))
         else:
             ns = 3 if FAMILY == "mr1" else 2
-            raws.append(_raw_image(rng, n, (n, 1, 64, 64, ns), y))
+            raws.append(_raw_image(rng, n, (n, 1, 64, 64, ns), y, jit))
     norm = [x if m == "clin" else _norm(x, m).astype(np.float32)
             for m, x in zip(FAMILY_MODALITIES[FAMILY], raws)]
     sl_tr = slice(0, N_TRAIN)
@@ -148,7 +191,8 @@ def make_data():
 def sample_aug_params(epoch: int, step: int) -> np.ndarray:
     """(BATCH, n_modalities, 4) [p_rot, theta_rad, p_gamma, gamma] —
     sampled once host-side, replayed bit-identically on both sides."""
-    rng = np.random.RandomState(424200 + epoch * 1000 + step)
+    rng = np.random.RandomState(
+        424200 + SEED * 10_000_019 + epoch * 1000 + step)
     n_mod = len(FAMILY_MODALITIES[FAMILY])
     prm = np.empty((BATCH, n_mod, 4), np.float64)
     prm[..., 0] = rng.rand(BATCH, n_mod)
@@ -193,6 +237,12 @@ MODEL_CFGS = {
 MODEL_CFG = MODEL_CFGS[FAMILY]
 
 
+def epoch_perm(epoch: int) -> np.ndarray:
+    """Per-epoch batch order, shared bit-identically by both sides."""
+    return np.random.RandomState(
+        1000 + SEED * 100_003 + epoch).permutation(N_TRAIN)
+
+
 def auroc(y_true, scores):
     """Rank-based AUROC (no sklearn dependency needed here)."""
     order = np.argsort(scores)
@@ -229,9 +279,13 @@ def run_reference(train, val, test, sd_init):
         ref_cls = _ref_module("models._xrNmrMcP").XR1MR2C1CnnTrf
 
     from oaprogressionmmf_tpu.config import Config
+    torch.manual_seed(SEED)
     model = ref_cls(config=Config(dict(MODEL_CFG)), path_weights=None)
-    model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
-                           for k, v in sd_init.items()})
+    if sd_init is not None:
+        model.load_state_dict({k: torch.from_numpy(np.asarray(v).copy())
+                               for k, v in sd_init.items()})
+    # sd_init None (ref-only variance runs): torch natural init under
+    # manual_seed(SEED) — the reference's own run-to-run regime.
 
     aug_batch = None
     if AUG:
@@ -289,7 +343,7 @@ def run_reference(train, val, test, sd_init):
     steps = N_TRAIN // BATCH
     for epoch in range(EPOCHS):
         model.train()
-        perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
+        perm = epoch_perm(epoch)
         for s in range(steps):
             idx = perm[s * BATCH:(s + 1) * BATCH]
             if AUG:
@@ -306,6 +360,8 @@ def run_reference(train, val, test, sd_init):
             losses.append(float(loss))
         sched.step()
         val_aucs.append(auroc(y_va, predict(xs_va)))
+        print(f"[ref seed={SEED}] epoch {epoch + 1}/{EPOCHS} "
+              f"val_auc={val_aucs[-1]:.4f}", file=sys.stderr, flush=True)
     test_auc = auroc(y_te, predict(xs_te))
     return losses, val_aucs, test_auc
 
@@ -332,7 +388,7 @@ def run_ours(train, val, test):
                                    lr_init=LR_INIT, steps_per_epoch=steps)
     tx = dict_optimizers["Adam"](lr_schedule, weight_decay=WEIGHT_DECAY)
 
-    variables = model.init(jax.random.key(0),
+    variables = model.init(jax.random.key(SEED),
                            *(jnp.asarray(x[:2]) for x in xs_tr),
                            train=False)
     variables = {"params": jax.device_get(variables["params"]),
@@ -409,7 +465,7 @@ def run_ours(train, val, test):
     losses, val_aucs = [], []
     with jax.default_matmul_precision("highest"):
         for epoch in range(EPOCHS):
-            perm = np.random.RandomState(1000 + epoch).permutation(N_TRAIN)
+            perm = epoch_perm(epoch)
             for s in range(steps):
                 idx = perm[s * BATCH:(s + 1) * BATCH]
                 if AUG:
@@ -420,37 +476,55 @@ def run_ours(train, val, test):
                 state, loss = train_step(state, xb, jnp.asarray(y_tr[idx]))
                 losses.append(float(loss))
             val_aucs.append(auroc(y_va, predict(xs_va)))
+            print(f"[ours seed={SEED}] epoch {epoch + 1}/{EPOCHS} "
+                  f"val_auc={val_aucs[-1]:.4f}", file=sys.stderr, flush=True)
         test_auc = auroc(y_te, predict(xs_te))
     return losses, val_aucs, test_auc, sd_init
 
 
 def main():
     train, val, test = make_data()
-    t0 = time.time()
-    ours_losses, ours_val, ours_test, sd_init = run_ours(train, val, test)
-    t_ours = time.time() - t0
-    t0 = time.time()
-    ref_losses, ref_val, ref_test = run_reference(train, val, test, sd_init)
-    t_ref = time.time() - t0
+    res = {"family": FAMILY,
+           "augmentation": "recorded-replay" if AUG else "off",
+           "epochs": EPOCHS, "batch": BATCH, "seed": SEED,
+           "signal": float(SIGNAL) if SIGNAL is not None else (
+               3.0 if AUG else 1.0),
+           "ampnoise": AMPNOISE, "n_test": N_TEST, "side": SIDE}
 
-    ld = np.abs(np.asarray(ours_losses) - np.asarray(ref_losses))
-    vd = np.abs(np.asarray(ours_val) - np.asarray(ref_val))
-    print(json.dumps({
-        "family": FAMILY, "augmentation": "recorded-replay" if AUG else "off",
-        "epochs": EPOCHS,
-        "steps": len(ours_losses),
-        "loss_absdiff_first10_max": round(float(ld[:10].max()), 6),
-        "loss_absdiff_overall_max": round(float(ld.max()), 6),
-        "loss_absdiff_final_epoch_mean": round(
-            float(ld[-(N_TRAIN // BATCH):].mean()), 6),
-        "val_auc_ref_trajectory": [round(float(v), 4) for v in ref_val],
-        "val_auc_ours_trajectory": [round(float(v), 4) for v in ours_val],
-        "val_auc_absdiff_max": round(float(vd.max()), 4),
-        "test_auc_ref": round(float(ref_test), 4),
-        "test_auc_ours": round(float(ours_test), 4),
-        "test_auc_absdiff": round(float(abs(ours_test - ref_test)), 4),
-        "sec_ours": round(t_ours, 1), "sec_ref": round(t_ref, 1),
-    }, indent=2))
+    ours_losses = ours_val = ours_test = sd_init = None
+    if SIDE in ("both", "ours"):
+        t0 = time.time()
+        ours_losses, ours_val, ours_test, sd_init = run_ours(
+            train, val, test)
+        res.update(sec_ours=round(time.time() - t0, 1),
+                   steps=len(ours_losses),
+                   val_auc_ours_trajectory=[round(float(v), 4)
+                                            for v in ours_val],
+                   test_auc_ours=round(float(ours_test), 4))
+    if SIDE in ("both", "ref"):
+        t0 = time.time()
+        ref_losses, ref_val, ref_test = run_reference(
+            train, val, test, sd_init)
+        res.update(sec_ref=round(time.time() - t0, 1),
+                   val_auc_ref_trajectory=[round(float(v), 4)
+                                           for v in ref_val],
+                   test_auc_ref=round(float(ref_test), 4))
+
+    if SIDE == "both":
+        ld = np.abs(np.asarray(ours_losses) - np.asarray(ref_losses))
+        vd = np.abs(np.asarray(ours_val) - np.asarray(ref_val))
+        res.update(
+            loss_absdiff_first10_max=round(float(ld[:10].max()), 6),
+            loss_absdiff_overall_max=round(float(ld.max()), 6),
+            loss_absdiff_final_epoch_mean=round(
+                float(ld[-(N_TRAIN // BATCH):].mean()), 6),
+            val_auc_absdiff_max=round(float(vd.max()), 4),
+            test_auc_absdiff=round(float(abs(ours_test - ref_test)), 4))
+
+    print(json.dumps(res, indent=2))
+    if OUT:
+        with open(OUT, "a") as f:
+            f.write(json.dumps(res) + "\n")
 
 
 if __name__ == "__main__":
