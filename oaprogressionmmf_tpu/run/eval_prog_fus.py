@@ -35,13 +35,18 @@ def main(argv=None) -> None:
     logger.info(config.to_yaml(resolve=True))
 
     import jax.numpy as jnp
+    from ..parallel.dcn import initialize_distributed
     from ..train.evaluator import ProgressionEvaluator
+
+    # multi-host: must run before any other jax call (no-op single-process)
+    data_shard = initialize_distributed(config.get("runtime"))
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         config.get("runtime", {}).get("compute_dtype", "bfloat16")
         if hasattr(config.get("runtime", {}), "get") else "bfloat16"]
 
-    evaluator = ProgressionEvaluator(config, compute_dtype=dtype)
+    evaluator = ProgressionEvaluator(config, compute_dtype=dtype,
+                                     data_shard=data_shard)
     regime = config.testing.regime
     if regime == "eval":
         evaluator.eval()

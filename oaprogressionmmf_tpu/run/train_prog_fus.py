@@ -43,8 +43,13 @@ def main(argv=None) -> None:
         fold_idcs = [i for i in fold_idcs if i not in ignore]
 
     import jax.numpy as jnp
+    from ..parallel.dcn import initialize_distributed
     from ..parallel.mesh import create_mesh
     from ..train.trainer import ProgressionTrainer
+
+    # multi-host: must run before any other jax call so the process joins
+    # the global device set; single-process runs return (0, 1) untouched
+    data_shard = initialize_distributed(config.get("runtime"))
 
     dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         config.get("runtime", {}).get("compute_dtype", "bfloat16")
@@ -55,7 +60,8 @@ def main(argv=None) -> None:
     for fold_idx in fold_idcs:
         logger.info(f"Training fold {fold_idx}")
         trainer = ProgressionTrainer(config, fold_idx, mesh=mesh,
-                                     compute_dtype=dtype)
+                                     compute_dtype=dtype,
+                                     data_shard=data_shard)
         summary = trainer.fit()
         logger.info(f"Fold {fold_idx} summary: {summary}")
 

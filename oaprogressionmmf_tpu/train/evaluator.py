@@ -39,12 +39,14 @@ logger = logging.getLogger("eval")
 class ProgressionEvaluator:
     """Fold-wise evaluation over the (fold-independent) test subset."""
 
-    def __init__(self, config, *, mesh=None, compute_dtype=jnp.float32):
+    def __init__(self, config, *, mesh=None, compute_dtype=jnp.float32,
+                 data_shard=(0, 1)):
         self.config = config
         # loaders for fold 0 only — the test subset is fold-independent
         # (eval_prog_fus.py:55-87)
         self.trainer = ProgressionTrainer(config, fold_idx=0, mesh=mesh,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          data_shard=data_shard)
         self.modals = self.trainer.modals
         self.path_weights = Path(config.path_experiment_root) / "weights"
         # logs subdir "incid"/"all" selects the knee cohort label exactly as

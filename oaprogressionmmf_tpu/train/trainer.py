@@ -306,7 +306,7 @@ class ProgressionTrainer:
     """Wires model + optimizer + loss + loaders + checkpointing for one fold."""
 
     def __init__(self, config, fold_idx: int, *, mesh=None,
-                 compute_dtype=jnp.float32):
+                 compute_dtype=jnp.float32, data_shard=(0, 1)):
         from ..data.pipeline import SequentialSampler, WeightedSampler, \
             make_batch_loader
         from ..data.provider import prepare_datasets
@@ -315,6 +315,10 @@ class ProgressionTrainer:
         self.fold_idx = fold_idx
         self.mesh = mesh if mesh is not None else create_mesh()
         self.compute_dtype = compute_dtype
+        # multi-host data sharding: (process_index, process_count) from
+        # parallel.dcn — each host's loaders decode a disjoint slice of
+        # every epoch; batch sizes below are PER-HOST (SURVEY.md §5.8)
+        self.data_shard = (int(data_shard[0]), int(data_shard[1]))
 
         ds_cfg = next(iter(config.data.sets.values()))
         self.modals = list(ds_cfg.modals)
@@ -343,21 +347,23 @@ class ProgressionTrainer:
 
         nw = int(config.get("num_workers", 8))
         lb = config.get("loader_backend", "threads")
+        shard = dict(shard_index=self.data_shard[0],
+                     shard_count=self.data_shard[1])
         self.loaders = {
             "train": make_batch_loader(
                 lb, train_ds, sampler, int(config.training.batch_size),
-                drop_last=True, mesh=self.mesh, num_workers=nw),
+                drop_last=True, mesh=self.mesh, num_workers=nw, **shard),
             "val": make_batch_loader(
                 lb, self.datasets["val"],
                 SequentialSampler(len(self.datasets["val"])),
                 int(config.validation.batch_size),
-                drop_last=True, mesh=self.mesh, num_workers=nw),
+                drop_last=True, mesh=self.mesh, num_workers=nw, **shard),
             "test": make_batch_loader(
                 lb, self.datasets["test"],
                 SequentialSampler(len(self.datasets["test"])),
                 int(config.testing.batch_size),
                 drop_last=False, pad_to_batch=True,
-                mesh=self.mesh, num_workers=nw),
+                mesh=self.mesh, num_workers=nw, **shard),
         }
 
         # experiment dirs + checkpoint handler (reference layout:

@@ -205,3 +205,74 @@ def test_steps_per_dispatch_chunked_matches_per_step():
                     jax.tree_util.tree_leaves(s2.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-2,
                                    atol=2e-4)
+
+
+def test_dcn_initialize_and_host_shard(monkeypatch):
+    """Multi-host entry point (parallel/dcn.py): config gating, kwarg
+    plumbing into jax.distributed.initialize, and the loader shard derived
+    from (process_index, process_count). Host logic only — this env is
+    single-host, so initialize itself is monkeypatched."""
+    import jax
+
+    from oaprogressionmmf_tpu.config import config_from_dict
+    from oaprogressionmmf_tpu.parallel import dcn
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+
+    # disabled (default) and absent subtree: no init, identity shard
+    assert dcn.initialize_distributed(None) == (0, 1)
+    cfg = config_from_dict({"runtime": {"distributed": {"enable": False}}})
+    assert dcn.initialize_distributed(cfg.runtime) == (0, 1)
+    assert calls == []
+
+    # enabled with explicit fields: kwargs forwarded with right types
+    cfg = config_from_dict({"runtime": {"distributed": {
+        "enable": True, "coordinator_address": "10.0.0.1:8476",
+        "num_processes": 4, "process_id": 2}}})
+    monkeypatch.setattr(jax, "process_index", lambda: 2)
+    monkeypatch.setattr(jax, "process_count", lambda: 4)
+    assert dcn.initialize_distributed(cfg.runtime) == (2, 4)
+    assert calls == [{"coordinator_address": "10.0.0.1:8476",
+                      "num_processes": 4, "process_id": 2}]
+
+    # enabled with auto-resolution: no kwargs (TPU metadata / env vars)
+    calls.clear()
+    cfg = config_from_dict({"runtime": {"distributed": {"enable": True}}})
+    dcn.initialize_distributed(cfg.runtime)
+    assert calls == [{}]
+
+
+def test_trainer_data_shard_reaches_loaders(monkeypatch, tmp_path):
+    """ProgressionTrainer(data_shard=...) forwards shard_index/shard_count
+    into every loader (train/val/test) — the per-host disjoint-slice
+    contract of SURVEY.md §5.8. The spy aborts construction after the third
+    loader so the test never pays a model compile."""
+    from oaprogressionmmf_tpu.train.trainer import ProgressionTrainer
+    from synth_oai import build_synth_tree, make_synth_config
+
+    build_synth_tree(tmp_path / "data", n_patients=12, modals=("xr_pa",))
+    config = make_synth_config(tmp_path, model_name="XR1Cnn",
+                               modals=("xr_pa",))
+
+    captured = []
+    import oaprogressionmmf_tpu.data.pipeline as pipeline_mod
+    real = pipeline_mod.make_batch_loader
+
+    class _Done(Exception):
+        pass
+
+    def spy(backend, ds, sampler, batch_size, **kw):
+        captured.append({k: kw.get(k) for k in ("shard_index",
+                                                "shard_count")})
+        if len(captured) == 3:
+            raise _Done
+        return real(backend, ds, sampler, batch_size, **kw)
+
+    monkeypatch.setattr(pipeline_mod, "make_batch_loader", spy)
+    with pytest.raises(_Done):
+        ProgressionTrainer(config, fold_idx=0, data_shard=(1, 2))
+    assert len(captured) == 3
+    for kw in captured:
+        assert kw == {"shard_index": 1, "shard_count": 2}
