@@ -74,6 +74,7 @@ def test_mesh_sharding_and_multichip_dryrun():
             assert "MESH_CHECKS_OK" in out.stdout
             assert "dryrun_multichip(8) ok" in out.stdout
             assert "dp×tp (2×4) ok" in out.stdout
+            assert "param equivalence ok" in out.stdout
             return
         last = f"rc={out.returncode}\nstdout:\n{out.stdout}\nstderr:\n{out.stderr}"
     pytest.fail(f"mesh subprocess failed twice; last:\n{last}")
