@@ -52,6 +52,15 @@ Env knobs (round 4 — de-saturated/production-length protocol):
   OAPROG_REH_BATCH=N      batch size (default 8; production fusion: 16).
   OAPROG_REH_NTEST=N      test-cohort size (default 64).
   OAPROG_REH_OUT=path     append the result JSON as one line.
+  OAPROG_REH_QUANT=1      after ours-side training, additionally evaluate
+      the test cohort through the SERVING quantization stack
+      (serving.quantized_model_config graphs: bf16, int8 FE-only,
+      int8-all incl. FeaT) calibrated on the val set, and record
+      AUROC/AP deltas vs the f32 eval — the AUROC-level accuracy
+      evidence behind the int8 bench headline (BASELINE.md north star
+      couples >=10x to AUROC-within-0.005).
+  OAPROG_REH_SAVE=path    dump the ours-side final train state
+      (params + batch_stats, msgpack) for later offline evals.
 """
 
 import importlib.util
@@ -80,6 +89,8 @@ BATCH = int(os.environ.get("OAPROG_REH_BATCH", "8"))
 N_TRAIN, N_VAL = 160, 64
 N_TEST = int(os.environ.get("OAPROG_REH_NTEST", "64"))
 OUT = os.environ.get("OAPROG_REH_OUT")
+QUANT = os.environ.get("OAPROG_REH_QUANT") == "1"
+SAVE = os.environ.get("OAPROG_REH_SAVE")
 LR_INIT, WEIGHT_DECAY = 1e-4, 1e-4
 SCHED = {"epochs_warmup": 5, "epochs_static": 100, "epochs_decay": 1}
 
@@ -241,6 +252,15 @@ def epoch_perm(epoch: int) -> np.ndarray:
     """Per-epoch batch order, shared bit-identically by both sides."""
     return np.random.RandomState(
         1000 + SEED * 100_003 + epoch).permutation(N_TRAIN)
+
+
+def average_precision(y_true, scores):
+    """sklearn-convention AP: mean of precision at each positive hit."""
+    order = np.argsort(-scores, kind="mergesort")
+    y = y_true[order]
+    tp = np.cumsum(y)
+    prec = tp / np.arange(1, len(y) + 1)
+    return float(prec[y == 1].mean())
 
 
 def auroc(y_true, scores):
@@ -479,7 +499,80 @@ def run_ours(train, val, test):
             print(f"[ours seed={SEED}] epoch {epoch + 1}/{EPOCHS} "
                   f"val_auc={val_aucs[-1]:.4f}", file=sys.stderr, flush=True)
         test_auc = auroc(y_te, predict(xs_te))
-    return losses, val_aucs, test_auc, sd_init
+
+    extra = {}
+    if SAVE:
+        from flax import serialization
+        payload = {"params": jax.device_get(state.params),
+                   "batch_stats": jax.device_get(state.batch_stats)}
+        Path(SAVE).write_bytes(serialization.msgpack_serialize(payload))
+        extra["saved_state"] = SAVE
+    if QUANT:
+        # Serving-stack accuracy at the AUROC level: same trained params,
+        # eval graphs from serving.quantized_model_config (what
+        # testing.quant=int8 and the int8-all bench headline execute),
+        # calibrated on the val set. Data here is pre-normalized, so this
+        # isolates the conv/dense int8 + bf16-math error (the
+        # preproc/downscale leg is covered by the serving-bundle tests).
+        from oaprogressionmmf_tpu.models import dict_models as _dm
+        from oaprogressionmmf_tpu.serving import (calibrate_quant_acts,
+                                                  quantized_model_config)
+
+        base_vars = {"params": state.params}
+        if state.batch_stats:
+            base_vars["batch_stats"] = state.batch_stats
+        f32_scores = predict(xs_te)
+        auc_f32, ap_f32 = auroc(y_te, f32_scores), average_precision(
+            y_te, f32_scores)
+        extra.update(test_auc_f32=round(auc_f32, 4),
+                     test_ap_f32=round(ap_f32, 4))
+
+        def eval_graph(tag, mode):
+            mdl = _dm[MODEL_CFG["name"]](
+                config=(quantized_model_config(MODEL_CFG, mode)
+                        if mode != "bf16" else dict(MODEL_CFG)),
+                compute_dtype=jnp.bfloat16)
+            vs = dict(base_vars)
+            if mode != "bf16":
+                calib_cfg = quantized_model_config(
+                    MODEL_CFG, "calib", include_agg=(mode == "int8-all"))
+                m_cal = _dm[calib_cfg["name"]](config=calib_cfg,
+                                               compute_dtype=jnp.bfloat16)
+                calib = [tuple(x[i:i + BATCH] for x in xs_va)
+                         for i in range(0, 2 * BATCH, BATCH)]
+                vs["quant_acts"] = calibrate_quant_acts(
+                    m_cal, lambda xs: xs, vs, calib)
+
+            @jax.jit
+            def step(vs, xb):
+                out = mdl.apply(vs, *xb, train=False)
+                logits = out["main"] if isinstance(out, dict) else out
+                return jax.nn.softmax(logits, axis=-1)[:, 1]
+
+            scores = np.concatenate(
+                [np.asarray(step(vs, tuple(jnp.asarray(x[i:i + BATCH])
+                                           for x in xs_te)))
+                 for i in range(0, len(xs_te[0]), BATCH)])
+            auc, ap = auroc(y_te, scores), average_precision(y_te, scores)
+            extra.update({f"test_auc_{tag}": round(auc, 4),
+                          f"test_ap_{tag}": round(ap, 4),
+                          f"dauc_{tag}": round(auc - auc_f32, 4),
+                          f"dap_{tag}": round(ap - ap_f32, 4)})
+            print(f"[quant {tag}] test_auc={auc:.4f} "
+                  f"(dAUROC={auc - auc_f32:+.4f}, dAP={ap - ap_f32:+.4f})",
+                  file=sys.stderr, flush=True)
+
+        # never lose a multi-hour training result to a quant-eval bug:
+        # the state is already SAVEd above, record the error and move on
+        for tag, mode in (("bf16", "bf16"), ("int8", "int8"),
+                          ("int8all", "int8-all")):
+            try:
+                eval_graph(tag, mode)
+            except Exception as e:  # noqa: BLE001
+                extra[f"quant_error_{tag}"] = repr(e)
+                print(f"[quant {tag}] FAILED: {e!r}", file=sys.stderr,
+                      flush=True)
+    return losses, val_aucs, test_auc, sd_init, extra
 
 
 def main():
@@ -494,13 +587,13 @@ def main():
     ours_losses = ours_val = ours_test = sd_init = None
     if SIDE in ("both", "ours"):
         t0 = time.time()
-        ours_losses, ours_val, ours_test, sd_init = run_ours(
+        ours_losses, ours_val, ours_test, sd_init, extra = run_ours(
             train, val, test)
         res.update(sec_ours=round(time.time() - t0, 1),
                    steps=len(ours_losses),
                    val_auc_ours_trajectory=[round(float(v), 4)
                                             for v in ours_val],
-                   test_auc_ours=round(float(ours_test), 4))
+                   test_auc_ours=round(float(ours_test), 4), **extra)
     if SIDE in ("both", "ref"):
         t0 = time.time()
         ref_losses, ref_val, ref_test = run_reference(
