@@ -53,23 +53,39 @@ def dequant(x, dtype=jnp.float32):
     return x
 
 
+def _calib_stat(x, quant):
+    """Per-batch calibration statistic of |x|: absolute max for plain
+    "calib"; a percentile for "calib:pNN.N" (e.g. "calib:p99.9"), which
+    clips activation outliers so the int8 range isn't wasted on them —
+    the running max across batches is taken by the caller either way."""
+    ax = jnp.abs(x.astype(jnp.float32))
+    if ":p" in quant:
+        pct = float(quant.split(":p", 1)[1])
+        return jnp.quantile(ax.reshape(-1), pct / 100.0)
+    return jnp.max(ax)
+
+
+def _is_calib(quant):
+    return quant is not None and quant.startswith("calib")
+
+
 def act_quant(mdl, x, name, quant):
     """Activation-site quantization point, declared in `mdl`'s scope.
 
-    quant == "calib": record running amax of |x| into quant_acts[name],
-    return x unchanged (the calibration graph stays float).
+    quant "calib" (or "calib:pNN.N"): record the running calibration
+    statistic of |x| into quant_acts[name], return x unchanged (the
+    calibration graph stays float).
     quant == "int8": read the calibrated amax, return `x` requantized as a
     QTensor — under jit this fuses into the producer's epilogue so only
     the int8 tensor is materialized.
     otherwise: identity (no variable declared).
     """
-    if quant not in ("calib", "int8"):
+    if not (_is_calib(quant) or quant == "int8"):
         return x
     var = mdl.variable("quant_acts", name, lambda: jnp.zeros((), jnp.float32))
-    if quant == "calib":
+    if _is_calib(quant):
         if not mdl.is_initializing():
-            var.value = jnp.maximum(
-                var.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+            var.value = jnp.maximum(var.value, _calib_stat(x, quant))
         return x
     s = jnp.maximum(var.value, 1e-6) / 127.0
     if isinstance(x, QTensor):          # already resident at this scale
@@ -99,13 +115,12 @@ def quant_conv_apply(mdl, x, kernel_f32, strides, padding, groups, dtype,
 def quant_dense_apply(mdl, x, kernel_f32, bias_f32, dtype, quant):
     """Dense executor for the FeaT stacks (per-dense amax recorded in the
     dense module's own scope; bias added in `dtype`)."""
-    if quant in ("calib", "int8"):
+    if _is_calib(quant) or quant == "int8":
         amax = mdl.variable("quant_acts", "amax",
                             lambda: jnp.zeros((), jnp.float32))
-        if quant == "calib":
+        if _is_calib(quant):
             if not mdl.is_initializing():
-                amax.value = jnp.maximum(
-                    amax.value, jnp.max(jnp.abs(x.astype(jnp.float32))))
+                amax.value = jnp.maximum(amax.value, _calib_stat(x, quant))
         else:
             s_in = jnp.maximum(amax.value, 1e-6) / 127.0
             s_w = jnp.maximum(

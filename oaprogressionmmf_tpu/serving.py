@@ -49,7 +49,8 @@ QUANT_MODES = ("none", "int8", "int8-all")
 
 
 def quantized_model_config(model_cfg: dict, mode: str,
-                           include_agg: bool = True) -> dict:
+                           include_agg: bool = True,
+                           calib_pct: float | None = None) -> dict:
     """Deep-copied model config with the quant knob injected.
 
     ``mode`` is a serving mode ("none" | "int8" | "int8-all") or the
@@ -57,14 +58,19 @@ def quantized_model_config(model_cfg: dict, mode: str,
     them). FE branches get ``quant`` whether the ``fe`` node is flat
     (single-branch families) or nested per-branch (fusion families);
     the FeaT aggregator gets it only for "int8-all" (or "calib" with
-    ``include_agg``).
+    ``include_agg``). ``calib_pct`` (calib mode only) switches the
+    recorded statistic from absolute max to that percentile of |x|
+    (outlier-clipping calibration, ops/quant.py::_calib_stat).
     """
     cfg = copy.deepcopy(
         model_cfg.to_dict() if hasattr(model_cfg, "to_dict")
         else dict(model_cfg))
     if mode in ("none", "", None):
         return cfg
-    fe_mode = "calib" if mode == "calib" else "int8"
+    if mode == "calib":
+        fe_mode = f"calib:p{calib_pct}" if calib_pct else "calib"
+    else:
+        fe_mode = "int8"
     fe = cfg.get("fe") or {}
     if "arch" in fe:
         fe["quant"] = fe_mode

@@ -198,6 +198,25 @@ def test_int8_quant_fe_matches_f32():
     with pytest.raises(ValueError, match="eval-only"):
         fe_g.apply({"params": {}, "quant_acts": {}}, x, train=True)
 
+    # percentile calibration ("calib:pNN.N", ops/quant.py::_calib_stat):
+    # same quant_acts tree, every recorded scale <= the absmax one, and
+    # the int8 graph consuming them still tracks the f32 forward
+    fe_pct = ResNetFE(stage_sizes=(1, 1), block_cls=Bottleneck,
+                      with_gap=True, quant="calib:p99.9")
+    _, muts_pct = fe_pct.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"],
+         "quant_acts": v_cal["quant_acts"]}, x, train=False,
+        mutable=["quant_acts"])
+    assert (jax.tree_util.tree_structure(muts_pct["quant_acts"])
+            == jax.tree_util.tree_structure(muts["quant_acts"]))
+    for a_pct, a_max in zip(jax.tree_util.tree_leaves(muts_pct["quant_acts"]),
+                            jax.tree_util.tree_leaves(muts["quant_acts"])):
+        assert 0 < float(a_pct) <= float(a_max) + 1e-6
+    qout_pct = fe_q.apply(
+        {"params": v["params"], "batch_stats": v["batch_stats"],
+         "quant_acts": muts_pct["quant_acts"]}, x, train=False)
+    assert np.corrcoef(np.asarray(qout_pct).ravel(), r)[0, 1] > 0.999
+
 
 def test_fe_remat_knob_parsing(monkeypatch):
     """fe.remat accepts bool or a stage-index list; OAPROG_FE_REMAT
