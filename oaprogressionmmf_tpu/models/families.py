@@ -110,9 +110,10 @@ def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
     if env is not None:
         # "0"/"1" (booleans), or a comma list of stage entries: "0,1" =
         # stage-remat stages 1-2 only; a "b" suffix ("0b,1,2,3") selects
-        # PER-BLOCK remat for that stage (ResNetFE.remat_block_stages).
-        # A single-stage LIST needs a trailing comma to disambiguate from
-        # the booleans: "1," remats only stage 1
+        # PER-BLOCK remat for that stage and "bK" ("1b2") remat in chunks
+        # of K blocks (ResNetFE.remat_block_stages). A single-stage LIST
+        # needs a trailing comma to disambiguate from the booleans: "1,"
+        # remats only stage 1
         entries = [s.strip() for s in env.split(",") if s.strip()]
         if ("," in env or len(entries) > 1
                 or (entries and entries[0] not in ("0", "1"))):
@@ -121,11 +122,14 @@ def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
             remat = env not in ("0", "")
     if remat is not None and fe_cfg["arch"] in QUANT_FE_ARCHS:
         if isinstance(remat, (tuple, list)):
+            import re
             stage_idxs, block_idxs = [], []
             for e in remat:
                 s = str(e)
-                if s.endswith("b"):
-                    block_idxs.append(int(s[:-1]))
+                m = re.fullmatch(r"(\d+)b(\d*)", s)
+                if m:
+                    block_idxs.append((int(m.group(1)),
+                                       int(m.group(2) or 1)))
                 else:
                     stage_idxs.append(int(s))
             kwargs["remat"] = tuple(stage_idxs)

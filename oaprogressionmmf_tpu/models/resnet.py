@@ -287,12 +287,17 @@ class ResNetFE(nn.Module):
     # activation giants out of HBM while sparing stages 3-4 the backward
     # recompute (config knob fe.remat / env OAPROG_FE_REMAT)
     remat: Any = True
-    # stages rematerialized PER BLOCK instead of per stage (overrides
-    # `remat` for those stages): whole-stage remat must hold the stage's
-    # full intra-block working set during ITS backward replay — at batch
-    # 32 stage1's replay alone overflows HBM; per-block replay holds one
-    # block's tensors at a time (config: "Nb" entries in fe.remat, e.g.
-    # ["0b", 1, 2, 3]; env OAPROG_FE_REMAT=0b,1,2,3)
+    # stages rematerialized in CHUNKS of blocks instead of per stage
+    # (overrides `remat` for those stages): whole-stage remat must hold
+    # the stage's full intra-block working set during ITS backward replay
+    # — at batch 32 stage1's replay alone overflows HBM; chunked replay
+    # holds only `chunk` blocks' tensors at a time, storing one boundary
+    # per chunk. Entries are stage indices (chunk 1 = per block) or
+    # (stage, chunk) pairs (config: "Nb"/"NbK" entries in fe.remat, e.g.
+    # ["0b", "1b2", 2, 3]; env OAPROG_FE_REMAT=0b,1b2,2,3). The memory
+    # ladder per stage: per-block (stores every block input, smallest
+    # working set) < chunked < whole-stage (stores one input, holds the
+    # whole stage's working set on replay).
     remat_block_stages: Any = ()
     # compute grouped 3x3s as block-diagonal dense convs (see
     # _GroupedConv3x3) — ~4x better MXU mapping for ResNeXt on TPU
@@ -361,28 +366,40 @@ class ResNetFE(nn.Module):
                 x = run_block(mdl, x, stage_idx, block_idx)
             return x
 
+        def run_chunk(mdl, x, stage_idx, block_start, n_blocks):
+            for block_idx in range(block_start, block_start + n_blocks):
+                x = run_block(mdl, x, stage_idx, block_idx)
+            return x
+
         # STAGE-granular rematerialization: only the stage boundaries
         # (plus the stem output) are saved for the backward pass — per-BLOCK
         # remat kept every block input alive and overflowed HBM at the
         # flagship's 1024-slice CNN batch (15.78/15.75G); whole-stage
         # recompute stores ~2.3G instead of ~5.4G of boundaries at the same
         # recompute cost (each op replayed once either way)
-        block_set = tuple(self.remat_block_stages or ())
+        block_set = {}   # stage_idx -> chunk size (1 = per block)
+        for e in (self.remat_block_stages or ()):
+            if isinstance(e, (tuple, list)):
+                block_set[int(e[0])] = int(e[1])
+            else:
+                block_set[int(e)] = 1
         if (self.remat or block_set) and not self.quant:
             # quantized paths are eval-only: no backward pass to remat, and
             # the calib-mode quant_acts mutation composes more simply
             # outside the lifted transform
             run_stage_remat = nn.remat(run_stage, static_argnums=(2, 3))
-            run_block_remat = nn.remat(run_block, static_argnums=(2, 3))
+            run_chunk_remat = nn.remat(run_chunk, static_argnums=(2, 3, 4))
         else:
             run_stage_remat = run_stage
-            run_block_remat = run_block
+            run_chunk_remat = run_chunk
         remat_stages = (self.remat if isinstance(self.remat, (tuple, list))
                         else None)
         for stage_idx, num_blocks in enumerate(self.stage_sizes):
             if stage_idx in block_set and not self.quant:
-                for block_idx in range(num_blocks):
-                    x = run_block_remat(self, x, stage_idx, block_idx)
+                chunk = block_set[stage_idx]
+                for start in range(0, num_blocks, chunk):
+                    x = run_chunk_remat(self, x, stage_idx, start,
+                                        min(chunk, num_blocks - start))
                 continue
             f = run_stage_remat if self.remat else run_stage
             if remat_stages is not None and stage_idx not in remat_stages:

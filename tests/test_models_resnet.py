@@ -249,7 +249,42 @@ def test_fe_remat_block_suffix_parsing(monkeypatch):
     fe_cfg = {"arch": "resnet50", "pretrained": False}
     monkeypatch.setenv("OAPROG_FE_REMAT", "0b,1,2,3")
     fe = _make_fe(dict(fe_cfg), True, None, "fe")
-    assert fe.remat == (1, 2, 3) and fe.remat_block_stages == (0,)
+    assert fe.remat == (1, 2, 3) and fe.remat_block_stages == ((0, 1),)
     monkeypatch.delenv("OAPROG_FE_REMAT")
     fe2 = _make_fe(dict(fe_cfg, remat=["0b", "1b", 2, 3]), True, None, "fe")
-    assert fe2.remat == (2, 3) and fe2.remat_block_stages == (0, 1)
+    assert fe2.remat == (2, 3) and fe2.remat_block_stages == ((0, 1), (1, 1))
+    # chunked block remat: "NbK" = stage N replayed K blocks at a time
+    fe3 = _make_fe(dict(fe_cfg, remat=["0b", "1b2", 2, 3]), True, None, "fe")
+    assert fe3.remat == (2, 3)
+    assert fe3.remat_block_stages == ((0, 1), (1, 2))
+    monkeypatch.setenv("OAPROG_FE_REMAT", "0b2,1b2,2,3")
+    fe4 = _make_fe(dict(fe_cfg), True, None, "fe")
+    assert fe4.remat_block_stages == ((0, 2), (1, 2))
+
+
+def test_fe_chunked_block_remat_matches_plain():
+    """Chunked block remat is a pure memory/recompute trade: identical
+    params and outputs vs the unrematted forward (resnet.py run_chunk)."""
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(2, 32, 32, 1).astype(np.float32))
+    fe_plain = ResNetFE(stage_sizes=(1, 3), block_cls=Bottleneck,
+                        with_gap=True, remat=False)
+    v = fe_plain.init(jax.random.key(1), x, train=False)
+    ref = fe_plain.apply(v, x, train=False)
+    fe_chunk = ResNetFE(stage_sizes=(1, 3), block_cls=Bottleneck,
+                        with_gap=True, remat=(0,),
+                        remat_block_stages=((1, 2),))
+    v2 = fe_chunk.init(jax.random.key(1), x, train=False)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v2["params"]))
+    out = fe_chunk.apply(v, x, train=False)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+    # and the gradient path compiles/executes through the lifted chunks
+    def loss(params):
+        return jnp.sum(fe_chunk.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=False) ** 2)
+    g = jax.grad(loss)(v["params"])
+    assert all(np.isfinite(np.asarray(l)).all()
+               for l in jax.tree_util.tree_leaves(g))
