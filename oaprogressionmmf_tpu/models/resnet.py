@@ -43,7 +43,8 @@ ModuleDef = Any
 # tree is unchanged, so checkpoints are oblivious. Activation scales live
 # in `quant_acts` keyed by SITE (amax_in/amax_1/... at block scope).
 from ..ops.quant import (QTensor, act_quant,  # noqa: E402
-                         dequant, quant_conv_apply as _quant_conv_apply)
+                         dequant, quant_conv_apply as _quant_conv_apply,
+                         quantize_sym)
 
 
 def _shape_of(x):
@@ -243,27 +244,42 @@ class _StemConv(nn.Module):
         if self.quant and not self.space_to_depth:
             return _quant_conv_apply(self, x, k, (2, 2), [(3, 3), (3, 3)],
                                      1, self.dtype, self.quant)
-        x = dequant(x, self.dtype)   # s2d path stays float
-        k = k.astype(self.dtype)
-        b, h, w, c = x.shape
+        b, h, w, c = _shape_of(x)
         if self.space_to_depth and h % 2 == 0 and w % 2 == 0:
             # y[i,j] = Σ_{a,b} k[a,b]·xpad[2i+a, 2j+b] with pad 3; write
             # a = 2α+u, b = 2β+v → 4x4 conv over the 2x2-packed input with
             # kernel K[α,β,(u,v,c)] = k8[2α+u, 2β+v, c]
-            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (0, 0)))
-            hp, wp = h + 6, w + 6
-            xs2d = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
-            xs2d = xs2d.transpose(0, 1, 3, 2, 4, 5).reshape(
-                b, hp // 2, wp // 2, 4 * c)
+            def pack_x(xd):
+                xp = jnp.pad(xd, ((0, 0), (3, 3), (3, 3), (0, 0)))
+                hp, wp = h + 6, w + 6
+                xs2d = xp.reshape(b, hp // 2, 2, wp // 2, 2, c)
+                return xs2d.transpose(0, 1, 3, 2, 4, 5).reshape(
+                    b, hp // 2, wp // 2, 4 * c)
+
             k8 = jnp.pad(k, ((0, 1), (0, 1), (0, 0), (0, 0)))
             k4 = k8.reshape(4, 2, 4, 2, c, self.features)
             k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(
                 4, 4, 4 * c, self.features)
+            if isinstance(x, QTensor):
+                # the repack is pure data movement and the zero pad is
+                # exact under symmetric quantization (zero point 0), so
+                # the int8 conv runs on the PACKED data — contraction dim
+                # 4·4·4c vs the direct stem's 7·7·c, a better MXU mapping
+                s_w = jnp.maximum(
+                    jnp.max(jnp.abs(k4), axis=(0, 1, 2)), 1e-8) / 127.0
+                y = jax.lax.conv_general_dilated(
+                    pack_x(x.data), quantize_sym(k4, s_w), (1, 1),
+                    [(0, 0), (0, 0)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.int32)
+                return y.astype(jnp.float32) * (x.scale * s_w)
             return jax.lax.conv_general_dilated(
-                xs2d, k4, (1, 1), [(0, 0), (0, 0)],
+                pack_x(x.astype(self.dtype)), k4.astype(self.dtype), (1, 1),
+                [(0, 0), (0, 0)],
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        x = dequant(x, self.dtype)
         return jax.lax.conv_general_dilated(
-            x, k, (2, 2), [(3, 3), (3, 3)],
+            x, k.astype(self.dtype), (2, 2), [(3, 3), (3, 3)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 

@@ -159,6 +159,18 @@ def test_s2d_stem_is_numerically_identical():
                                np.asarray(m1.apply(variables, x)),
                                atol=2e-5)
 
+    # int8 + s2d: the repack commutes with symmetric quantization (zero
+    # pad is exact at zero point 0) and the per-out-channel weight scales
+    # are invariant to the zero-padded repack, so the int8 s2d stem is
+    # BIT-identical to the direct int8 stem (int32 accumulation is exact)
+    from oaprogressionmmf_tpu.ops.quant import QTensor, quantize_sym
+    scale = jnp.float32(1.0 / 127.0)
+    xq = QTensor(quantize_sym(x, scale), scale)
+    q0 = _StemConv(space_to_depth=False, quant="int8")
+    q1 = _StemConv(space_to_depth=True, quant="int8")
+    np.testing.assert_array_equal(np.asarray(q0.apply(variables, xq)),
+                                  np.asarray(q1.apply(variables, xq)))
+
 
 def test_int8_quant_fe_matches_f32():
     """int8 serving path (fe.quant): identical parameter tree, calib
