@@ -105,6 +105,14 @@ def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
     quant = fe_cfg.get("quant")
     if quant and fe_cfg["arch"] in QUANT_FE_ARCHS:
         kwargs["quant"] = quant
+    # space-to-depth stem (numerics-identical, float AND int8 paths):
+    # config fe.s2d_stem or env OAPROG_S2D_STEM=1 (bench experiments)
+    s2d = fe_cfg.get("s2d_stem")
+    env_s2d = os.environ.get("OAPROG_S2D_STEM")
+    if env_s2d is not None:
+        s2d = env_s2d not in ("0", "")
+    if s2d is not None and fe_cfg["arch"] in QUANT_FE_ARCHS:
+        kwargs["s2d_stem"] = bool(s2d)
     remat = fe_cfg.get("remat")
     env = os.environ.get("OAPROG_FE_REMAT")
     if env is not None:

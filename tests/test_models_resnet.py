@@ -254,6 +254,17 @@ def test_fe_remat_knob_parsing(monkeypatch):
     monkeypatch.setenv("OAPROG_FE_REMAT", "0,")
     assert _make_fe(dict(fe_cfg), True, None, "fe").remat == (0,)
 
+    # s2d stem knob: config fe.s2d_stem, env OAPROG_S2D_STEM overrides
+    monkeypatch.delenv("OAPROG_FE_REMAT", raising=False)
+    assert _make_fe(dict(fe_cfg), True, None, "fe").s2d_stem is False
+    assert _make_fe(dict(fe_cfg, s2d_stem=True), True, None,
+                    "fe").s2d_stem is True
+    monkeypatch.setenv("OAPROG_S2D_STEM", "1")
+    assert _make_fe(dict(fe_cfg), True, None, "fe").s2d_stem is True
+    monkeypatch.setenv("OAPROG_S2D_STEM", "0")
+    assert _make_fe(dict(fe_cfg, s2d_stem=True), True, None,
+                    "fe").s2d_stem is False
+
 
 def test_fe_remat_block_suffix_parsing(monkeypatch):
     from oaprogressionmmf_tpu.models.families import _make_fe
