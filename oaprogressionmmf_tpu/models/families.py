@@ -134,6 +134,9 @@ def _make_fe(fe_cfg: dict, with_gap: bool, dtype, name: str):
             stage_idxs, block_idxs = [], []
             for e in remat:
                 s = str(e)
+                if s == "s":            # stem remat
+                    kwargs["remat_stem"] = True
+                    continue
                 m = re.fullmatch(r"(\d+)b(\d*)", s)
                 if m:
                     block_idxs.append((int(m.group(1)),

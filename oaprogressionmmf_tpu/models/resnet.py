@@ -315,6 +315,11 @@ class ResNetFE(nn.Module):
     # working set) < chunked < whole-stage (stores one input, holds the
     # whole stage's working set on replay).
     remat_block_stages: Any = ()
+    # rematerialize the stem unit (conv1+bn1+relu+maxpool) on backward,
+    # recomputing from the (uint8-sized) input — drops the pre-pool relu
+    # boundary the pool's backward otherwise pins (config: "s" entry in
+    # fe.remat; env OAPROG_FE_REMAT=s,0b,1,2,3)
+    remat_stem: bool = False
     # compute grouped 3x3s as block-diagonal dense convs (see
     # _GroupedConv3x3) — ~4x better MXU mapping for ResNeXt on TPU
     dense_groups: bool = True
@@ -350,15 +355,26 @@ class ResNetFE(nn.Module):
 
         x = x.astype(self.dtype)
         x = act_quant(self, x, "amax_in", self.quant)
-        x = _StemConv(features=64, dtype=self.dtype,
-                      space_to_depth=self.s2d_stem, quant=self.quant,
-                      name="conv1")(x)
-        x = norm(name="bn1")(x)
-        x = nn.relu(x)
-        # requant BEFORE the pool: max commutes with the monotone
-        # quantization, so pooling int8 data is exact and reads 1B/elt
-        x = act_quant(self, x, "amax_stem", self.quant)
-        x = _max_pool_3x3s2(x)
+
+        def run_stem(mdl, x):
+            x = _StemConv(features=64, dtype=mdl.dtype,
+                          space_to_depth=mdl.s2d_stem, quant=mdl.quant,
+                          name="conv1")(x)
+            x = norm(name="bn1")(x)
+            x = nn.relu(x)
+            # requant BEFORE the pool: max commutes with the monotone
+            # quantization, so pooling int8 data is exact and reads 1B/elt
+            x = act_quant(mdl, x, "amax_stem", mdl.quant)
+            return _max_pool_3x3s2(x)
+
+        # stem remat ("s" entry in fe.remat): the pool's backward keeps the
+        # pre-pool relu alive (argmax routing) — a 1.56G boundary per FE at
+        # the flagship batch-32 slice batch; replaying conv+bn+relu+pool
+        # from the (uint8-sized) input removes it
+        if self.remat_stem and not self.quant:
+            x = nn.remat(run_stem)(self, x)
+        else:
+            x = run_stem(self, x)
         if self.stop_after == "stem":
             return jnp.mean(dequant(x, jnp.float32),
                             axis=(1, 2)).astype(self.dtype)

@@ -283,6 +283,13 @@ def test_fe_remat_block_suffix_parsing(monkeypatch):
     monkeypatch.setenv("OAPROG_FE_REMAT", "0b2,1b2,2,3")
     fe4 = _make_fe(dict(fe_cfg), True, None, "fe")
     assert fe4.remat_block_stages == ((0, 2), (1, 2))
+    # "s" entry = stem remat
+    monkeypatch.setenv("OAPROG_FE_REMAT", "s,0b,1,2,3")
+    fe5 = _make_fe(dict(fe_cfg), True, None, "fe")
+    assert fe5.remat_stem is True and fe5.remat == (1, 2, 3)
+    assert fe5.remat_block_stages == ((0, 1),)
+    monkeypatch.delenv("OAPROG_FE_REMAT")
+    assert _make_fe(dict(fe_cfg), True, None, "fe").remat_stem is False
 
 
 def test_fe_chunked_block_remat_matches_plain():
@@ -311,3 +318,27 @@ def test_fe_chunked_block_remat_matches_plain():
     g = jax.grad(loss)(v["params"])
     assert all(np.isfinite(np.asarray(l)).all()
                for l in jax.tree_util.tree_leaves(g))
+
+    # stem remat: same params/outputs, grads match the unrematted form
+    fe_stem = ResNetFE(stage_sizes=(1, 3), block_cls=Bottleneck,
+                       with_gap=True, remat=False, remat_stem=True)
+    v3 = fe_stem.init(jax.random.key(1), x, train=False)
+    assert (jax.tree_util.tree_structure(v["params"])
+            == jax.tree_util.tree_structure(v3["params"]))
+    np.testing.assert_allclose(np.asarray(fe_stem.apply(v, x, train=False)),
+                               np.asarray(ref), rtol=1e-6, atol=1e-6)
+
+    def loss_stem(params):
+        return jnp.sum(fe_stem.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=False) ** 2)
+    g2 = jax.grad(loss_stem)(v["params"])
+    def loss_plain(params):
+        return jnp.sum(fe_plain.apply(
+            {"params": params, "batch_stats": v["batch_stats"]},
+            x, train=False) ** 2)
+    g_ref = jax.grad(loss_plain)(v["params"])
+    for a, b in zip(jax.tree_util.tree_leaves(g2),
+                    jax.tree_util.tree_leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
