@@ -50,6 +50,13 @@ Env knobs (round 4 — de-saturated/production-length protocol):
       while keeping learning itself strong and stable (weakening the
       boost instead makes training chaotic near full LR).
   OAPROG_REH_BATCH=N      batch size (default 8; production fusion: 16).
+  OAPROG_REH_BACKEND=cpu|tpu   device for the ours side (default cpu —
+      bit-closest to the torch CPU reference). tpu runs the identical
+      jitted graphs on the real chip under matmul precision "highest"
+      (f32 convs): ~40x faster wall-clock here, per-step drift vs the
+      CPU reference rises from ~1e-5 to f32-reassociation level, far
+      below the seed-to-seed spread the final-AUROC comparison is read
+      against. The reference side is torch-CPU either way.
   OAPROG_REH_NTEST=N      test-cohort size (default 64).
   OAPROG_REH_OUT=path     append the result JSON as one line.
   OAPROG_REH_QUANT=1      after ours-side training, additionally evaluate
@@ -86,6 +93,7 @@ SEED = int(os.environ.get("OAPROG_REH_SEED", "0"))
 SIGNAL = os.environ.get("OAPROG_REH_SIGNAL")
 AMPNOISE = float(os.environ.get("OAPROG_REH_AMPNOISE", "0"))
 BATCH = int(os.environ.get("OAPROG_REH_BATCH", "8"))
+BACKEND = os.environ.get("OAPROG_REH_BACKEND", "cpu")
 N_TRAIN, N_VAL = 160, 64
 N_TEST = int(os.environ.get("OAPROG_REH_NTEST", "64"))
 OUT = os.environ.get("OAPROG_REH_OUT")
@@ -388,8 +396,11 @@ def run_reference(train, val, test, sd_init):
 
 def run_ours(train, val, test):
     import jax
-    jax.config.update("jax_platforms", "cpu")
+    if BACKEND == "cpu":
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
+    print(f"[ours] backend: {jax.devices()[0].platform}", file=sys.stderr,
+          flush=True)
 
     from oaprogressionmmf_tpu.models import dict_models
     from oaprogressionmmf_tpu.ops.losses import dict_losses
@@ -451,29 +462,47 @@ def run_ours(train, val, test):
         from oaprogressionmmf_tpu.ops.rotate import (rotate2d,
                                                      rotate3d_in_slice)
 
-        j_unit = jax.jit(to_unit_range)
-        j_rot = {3: jax.jit(rotate2d), 4: jax.jit(rotate3d_in_slice)}
-        j_gamma = jax.jit(gamma_correction)
+        rot_fns = {4: rotate2d, 5: rotate3d_in_slice}  # batched ndim
 
-        def aug_batch(xb_np, prm):
+        # One fused dispatch per batch (vmap over samples) instead of the
+        # original 3-modality x BATCH per-sample Python loop: identical
+        # math (same ops, same order; the apply-or-skip branches become
+        # compute-both + jnp.where selects), ~50x fewer dispatches, and
+        # it makes the ours side runnable on the real TPU chip
+        # (OAPROG_REH_BACKEND=tpu) where the per-sample loop would pay
+        # a tunnel RTT per image.
+        @jax.jit
+        def _aug_all(xb, do_rot, theta, do_gam, gamma):
             out = []
-            for mi, (m, x) in enumerate(zip(FAMILY_MODALITIES[FAMILY],
-                                            xb_np)):
+            for mi, m in enumerate(FAMILY_MODALITIES[FAMILY]):
+                x = xb[mi]
                 if m == "clin":
-                    out.append(jnp.asarray(x))
+                    out.append(x)
                     continue
                 mean, std = MODALITY_STATS[m]
-                imgs = []
-                for bi in range(x.shape[0]):
-                    img = j_unit(jnp.asarray(x[bi]))
-                    if prm[bi, mi, 0] < 0.5:       # rot prob (ref: p<prob)
-                        img = j_rot[img.ndim](
-                            img, jnp.float32(prm[bi, mi, 1]))
-                    if m in GAMMA_MODALITIES and prm[bi, mi, 2] < 0.5:
-                        img = j_gamma(img, jnp.float32(prm[bi, mi, 3]))
-                    imgs.append(normalize(img, [mean], [std]))
-                out.append(jnp.stack(imgs))
-            return out
+                rot = rot_fns[x.ndim]
+
+                def one(img, dr, th, dg, ga):
+                    img = to_unit_range(img)
+                    img = jnp.where(dr, rot(img, th), img)
+                    if m in GAMMA_MODALITIES:
+                        img = jnp.where(dg, gamma_correction(img, ga),
+                                        img)
+                    return normalize(img, [mean], [std])
+
+                out.append(jax.vmap(one)(x, do_rot[:, mi], theta[:, mi],
+                                         do_gam[:, mi], gamma[:, mi]))
+            return tuple(out)
+
+        def aug_batch(xb_np, prm):
+            # p<0.5 decided host-side in f64 — bit-matched to the
+            # reference transforms' state["p"] < prob comparison
+            return _aug_all(
+                tuple(jnp.asarray(x) for x in xb_np),
+                jnp.asarray(prm[..., 0] < 0.5),
+                jnp.asarray(prm[..., 1], jnp.float32),
+                jnp.asarray(prm[..., 2] < 0.5),
+                jnp.asarray(prm[..., 3], jnp.float32))
 
     def predict(xs):
         outs = [np.asarray(predict_step(

@@ -1,0 +1,109 @@
+"""AUROC-level accuracy of the int8 serving stack (VERDICT r3 weak #1).
+
+The bench headline (BENCH_r03: 285 knees/s/chip, 11.1x) runs the
+int8-all serving graph; BASELINE.md couples the >=10x north star to
+AUROC-within-0.005. Round 3 attested int8 accuracy only via a <=0.05
+per-element probability bound on one batch. This test measures the
+delta AT THE AUROC/AP LEVEL on a non-saturated synthetic cohort:
+
+  * amplitude jitter (OAPROG_REH_AMPNOISE) caps the Bayes-optimal test
+    AUROC at ~Phi(25/(S*sqrt(2))) ~ 0.84 for S=18, so the operating
+    point cannot ceiling-clip at 1.0 where AUROC is insensitive;
+  * the flagship (XR1MR2C1, 4 branches incl. FeaT aggregation) is
+    trained for a few epochs to that cap, then the test cohort is
+    scored through the SAME serving graphs the bench and
+    `testing.quant=int8` execute (serving.quantized_model_config,
+    val-set calibration): bf16, int8 (FE convs), int8-all (+FeaT/agg).
+
+The production-scale version of this measurement (60 epochs, batch 16,
+256-knee cohort, aug-replay vs the reference) lives in
+scripts/rehearse_training_parity.py + PARITY.md round 4; this test pins
+the protocol in the suite at a size it can afford.
+
+Reference for the eval semantics being protected:
+/root/reference/koafusion/run/eval_prog_fus.py (predict_proba path).
+"""
+
+import importlib.util
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+SCRIPTS = Path(__file__).resolve().parents[1] / "scripts"
+
+# Small but meaningful: 6 epochs x 20 steps reaches the jitter-capped
+# operating point (~0.8); 128-knee test cohort gives AUROC a ~2.4e-4
+# per-pair-swap granularity so a 0.01 bound is ~40 reorderings.
+_ENV = {
+    "OAPROG_REH_SIDE": "ours",
+    "OAPROG_REH_SEED": "0",
+    "OAPROG_REH_SIGNAL": "3.0",
+    "OAPROG_REH_AMPNOISE": "18.0",
+    "OAPROG_REH_BATCH": "8",
+    "OAPROG_REH_NTEST": "128",
+    "OAPROG_REH_QUANT": "1",
+}
+
+
+@pytest.fixture(scope="module")
+def quant_rehearsal():
+    old_env = {k: os.environ.get(k) for k in _ENV}
+    old_argv = sys.argv
+    os.environ.update(_ENV)
+    os.environ.pop("OAPROG_REH_OUT", None)
+    os.environ.pop("OAPROG_REH_SAVE", None)
+    sys.argv = ["rehearse_training_parity.py", "6", "flagship"]
+    try:
+        spec = importlib.util.spec_from_file_location(
+            "reh_quant_test", SCRIPTS / "rehearse_training_parity.py")
+        reh = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(reh)
+        train, val, test = reh.make_data()
+        losses, val_aucs, test_auc, _, extra = reh.run_ours(
+            train, val, test)
+    finally:
+        sys.argv = old_argv
+        for k, v in old_env.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+    return float(test_auc), extra
+
+
+def test_operating_point_non_saturated(quant_rehearsal):
+    """The cohort is tuned so AUROC can't ceiling-clip: a delta bound is
+    only evidence when the metric has headroom to move."""
+    test_auc, extra = quant_rehearsal
+    assert 0.60 <= extra["test_auc_f32"] <= 0.97, extra
+    assert abs(test_auc - extra["test_auc_f32"]) < 1e-6
+
+
+def test_quant_graphs_ran(quant_rehearsal):
+    _, extra = quant_rehearsal
+    for tag in ("bf16", "int8", "int8all"):
+        assert f"quant_error_{tag}" not in extra, extra
+        assert f"test_auc_{tag}" in extra, extra
+
+
+def test_bf16_auroc_delta(quant_rehearsal):
+    _, extra = quant_rehearsal
+    assert abs(extra["dauc_bf16"]) <= 0.005, extra
+    assert abs(extra["dap_bf16"]) <= 0.01, extra
+
+
+def test_int8_auroc_delta(quant_rehearsal):
+    """testing.quant=int8 (FE convs int8, rest bf16)."""
+    _, extra = quant_rehearsal
+    assert abs(extra["dauc_int8"]) <= 0.01, extra
+    assert abs(extra["dap_int8"]) <= 0.02, extra
+
+
+def test_int8_all_auroc_delta(quant_rehearsal):
+    """int8-all — the graph behind the bench headline."""
+    _, extra = quant_rehearsal
+    assert abs(extra["dauc_int8all"]) <= 0.01, extra
+    assert abs(extra["dap_int8all"]) <= 0.02, extra
