@@ -79,7 +79,9 @@ def test_operating_point_non_saturated(quant_rehearsal):
     only evidence when the metric has headroom to move."""
     test_auc, extra = quant_rehearsal
     assert 0.60 <= extra["test_auc_f32"] <= 0.97, extra
-    assert abs(test_auc - extra["test_auc_f32"]) < 1e-6
+    # extra records 4-dp rounded values; the unrounded return may differ
+    # from the rounded record by up to half an ulp of the 4th decimal
+    assert abs(test_auc - extra["test_auc_f32"]) <= 5e-5
 
 
 def test_quant_graphs_ran(quant_rehearsal):
