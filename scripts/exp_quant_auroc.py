@@ -45,7 +45,12 @@ _spec.loader.exec_module(reh)
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# default cpu (deterministic, leaves the chip free); OAPROG_QSWEEP_BACKEND=tpu
+# runs the serving graphs on the real chip (~4x faster sweep, and the
+# backend the headline runs on). TPU = leave the env's axon platform as-is
+# (setting the env var in-process is too late — see CLAUDE.md).
+if os.environ.get("OAPROG_QSWEEP_BACKEND", "cpu") == "cpu":
+    jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp  # noqa: E402
 from flax import serialization  # noqa: E402
 
@@ -100,9 +105,13 @@ def main():
                                             compute_dtype=jnp.bfloat16)
     record("bf16", predict(m_bf16, base_vars), time.time() - t0)
 
+    # the val set bounds the calibration data: n_calib batches are capped
+    # to what it holds (production config: 64 val knees / batch 16 → the
+    # "8-batch" arm becomes c4 = ALL val knees, vs c2 = 32)
+    n_avail = max(1, len(xs_va[0]) // BATCH)
     for mode in ("int8", "int8-all"):
         for pct in (None, 99.9, 99.99):
-            for n_calib in (2, 8):
+            for n_calib in sorted({min(2, n_avail), min(8, n_avail)}):
                 t0 = time.time()
                 calib_cfg = quantized_model_config(
                     MODEL_CFG, "calib", include_agg=(mode == "int8-all"),
