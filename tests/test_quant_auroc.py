@@ -98,14 +98,21 @@ def test_bf16_auroc_delta(quant_rehearsal):
 
 
 def test_int8_auroc_delta(quant_rehearsal):
-    """testing.quant=int8 (FE convs int8, rest bf16)."""
+    """testing.quant=int8 (FE convs int8, rest bf16).
+
+    Bounds are the BASELINE.md north star itself (AUROC 0.005 / AP
+    0.01): round-5 measured deltas on this cohort are +0.0005/+0.0008
+    (suite run 2026-08-21), and the production-scale sweep
+    (PARITY.md round 5) sits at |dAUROC| <= 0.0008 — 5-10x margin.
+    """
     _, extra = quant_rehearsal
-    assert abs(extra["dauc_int8"]) <= 0.01, extra
-    assert abs(extra["dap_int8"]) <= 0.02, extra
+    assert abs(extra["dauc_int8"]) <= 0.005, extra
+    assert abs(extra["dap_int8"]) <= 0.01, extra
 
 
 def test_int8_all_auroc_delta(quant_rehearsal):
-    """int8-all — the graph behind the bench headline."""
+    """int8-all — the graph behind the bench headline. Measured here:
+    +0.0009/+0.0009 (round-5 suite run); same north-star bounds."""
     _, extra = quant_rehearsal
-    assert abs(extra["dauc_int8all"]) <= 0.01, extra
-    assert abs(extra["dap_int8all"]) <= 0.02, extra
+    assert abs(extra["dauc_int8all"]) <= 0.005, extra
+    assert abs(extra["dap_int8all"]) <= 0.01, extra
