@@ -149,8 +149,12 @@ def main():
             f"OAPROG_BENCH_QUANT={quant!r}: use int8|int8-all|none")
     use_quant = quant.startswith("int8")
     if use_quant:
+        # s2d stem adopted round 5: bit-identical int8 stem as a 4x4x4c
+        # conv on the 2x2-packed input — measured 286.6 vs 284.9 knees/s
+        # (OAPROG_S2D_STEM=0 reverts)
         for k in ("xr", "mr"):
-            model_cfg["fe"][k] = dict(model_cfg["fe"][k], quant="int8")
+            model_cfg["fe"][k] = dict(model_cfg["fe"][k], quant="int8",
+                                      s2d_stem=True)
         if quant == "int8-all":
             model_cfg["agg"] = dict(model_cfg["agg"], quant="int8")
 
