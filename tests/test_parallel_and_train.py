@@ -56,8 +56,8 @@ def test_mesh_sharding_and_multichip_dryrun():
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=8"
-    # the driver's default dryrun path is DP-only (time budget); the test
-    # suite always exercises the dp×tp phase too
+    # dp×tp is default-on since round 5 but guarded by a phase-1 wall-time
+    # check; force it here so a slow CI host can't silently skip the phase
     env["OAPROG_DRYRUN_TP"] = "1"
     # the remote compile service occasionally drops a request — retry once
     last = None
